@@ -1,0 +1,290 @@
+"""Index build pipeline (Ray-Data-first).
+
+    read_parquet(corpus)
+      → map_batches: sha256 + dedup bucket            (stateless, Arrow)
+      → bucketed groupby: upsert keep-one per key      (shuffle 1: doc_key)
+      → sort(repo, path) + dense doc_id                (shuffle 2: the one
+                                                        global sort)
+      → write docs/ (canonical doc store)
+      → map_batches DocStats → docstats/ + N, avgdl    (tokenize pass 1)
+      → map_batches FlatPostings → salted partitioned
+        spill shuffle/skey=*/                          (tokenize pass 2; the
+                                                        all-to-all is a
+                                                        map-side scatter by
+                                                        partition_cols write,
+                                                        no sort network step)
+      → per-partition MergeActor pool → parts/ +
+        checkpoints/                                   (stateful actors)
+      → finalize manifest.json
+
+Every phase is gated by a completion marker; the merge phase is resumable at
+per-partition granularity via the checkpoint anti-join (the reference's
+resume mechanisms re-expressed: upsert idempotence + skip-already-scraped,
+reference: cadaster_entry.py:53, elasticsearch_utils.py:100-136).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from librecatastro_ray.config import IndexConfig
+from librecatastro_ray.functions.tokenizer import term_frequencies_batch
+from librecatastro_ray.stages.doc_ids import assign_doc_ids, dedup_latest
+from librecatastro_ray.stages.merge import MergeActor
+from librecatastro_ray.stages.postings import DocStats, FlatPostings
+from librecatastro_ray.state.manifest import (
+    atomic_write_json,
+    completed_partitions,
+    load_manifest,
+    manifest_path,
+    read_json,
+    save_manifest,
+)
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _marker(path: str) -> str:
+    return os.path.join(path, "_DONE.json")
+
+
+def _phase_done(d: str) -> bool:
+    return os.path.exists(_marker(d))
+
+
+def _as_dataset(corpus: Any) -> ray.data.Dataset:
+    if isinstance(corpus, str):
+        return ray.data.read_parquet(corpus, columns=CORPUS_COLUMNS)
+    if isinstance(corpus, pa.Table):
+        return ray.data.from_arrow(corpus)
+    return corpus
+
+
+class _SampleTermCounts:
+    """Partial df over a deterministic doc sample (doc_id % mod == 0):
+    per-batch (term, df_partial) tables, combined on the driver.  This is the
+    partial-aggregate-before-groupby pattern — the full df never shuffles."""
+
+    def __init__(self, mod: int):
+        self.mod = mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = (batch["doc_id"].to_numpy() % self.mod) == 0
+        sub = batch.filter(pa.array(mask))
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "sampled": pa.array([], pa.int64()),
+            }
+        )
+        if len(sub) == 0:
+            return empty
+        tf_table, _ = term_frequencies_batch(sub["content"])
+        g = tf_table.group_by("term", use_threads=False).aggregate([("row", "count")])
+        out = pa.table(
+            {
+                "term": g["term"],
+                "df": g["row_count"].cast(pa.int64()),
+                "sampled": pa.array(np.zeros(len(g), dtype=np.int64), pa.int64()),
+            }
+        )
+        # sentinel row carrying the per-batch sampled-doc count
+        sentinel = pa.table(
+            {
+                "term": pa.array(["\x00__sampled__"], pa.string()),
+                "df": pa.array([0], pa.int64()),
+                "sampled": pa.array([len(sub)], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, sentinel])
+
+
+def estimate_hot_terms(docs_ds: ray.data.Dataset, n_docs: int, config: IndexConfig) -> list[str]:
+    """Terms whose estimated df ratio exceeds config.hot_df_ratio, from a
+    deterministic doc sample.  Returns a sorted list (small: keyword-class
+    terms only)."""
+    mod = max(1, n_docs // max(1, config.hot_sample_target))
+    parts = docs_ds.map_batches(
+        _SampleTermCounts,
+        fn_constructor_kwargs={"mod": mod},
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=(1, 8),
+    ).to_pandas()
+    if parts.empty:
+        return []
+    n_sampled = int(parts["sampled"].sum())
+    if n_sampled == 0:
+        return []
+    parts = parts[parts["term"] != "\x00__sampled__"]
+    df = parts.groupby("term", sort=True)["df"].sum()
+    hot = df[df >= config.hot_df_ratio * n_sampled]
+    return sorted(hot.index.tolist())
+
+
+def build_index(
+    corpus: Any,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    *,
+    resume: bool = True,
+    cleanup_shuffle: bool = False,
+) -> dict:
+    """Build (or resume building) an index.  Returns
+    ``{"manifest": ..., "report": {...}}`` where the report carries
+    per-phase skip/recompute counts (used by the resume tests)."""
+    config = config or IndexConfig()
+    report: dict[str, Any] = {"phases_skipped": [], "partitions_merged": 0, "partitions_skipped": 0}
+
+    if resume and os.path.exists(manifest_path(index_dir)):
+        report["phases_skipped"] = ["all"]
+        return {"manifest": load_manifest(index_dir), "report": report}
+    if not resume:
+        from librecatastro_ray.state.manifest import drop_index
+
+        drop_index(index_dir)
+
+    os.makedirs(index_dir, exist_ok=True)
+    docs_dir = os.path.join(index_dir, "docs")
+    docstats_dir = os.path.join(index_dir, "docstats")
+    shuffle_dir = os.path.join(index_dir, "shuffle")
+
+    # ---- phase A: dedup + doc ids + canonical doc store -------------------
+    mat_docs: ray.data.Dataset | None = None
+    if _phase_done(docs_dir):
+        report["phases_skipped"].append("docs")
+    else:
+        ds = _as_dataset(corpus)
+        ds = dedup_latest(ds, n_buckets=config.dedup_buckets)
+        mat_docs = assign_doc_ids(ds)
+        import shutil
+
+        if os.path.isdir(docs_dir):
+            shutil.rmtree(docs_dir)
+        mat_docs.write_parquet(docs_dir)
+        n_docs_a = mat_docs.count()
+        atomic_write_json(_marker(docs_dir), {"n_docs": int(n_docs_a)})
+
+    if mat_docs is None:
+        mat_docs = ray.data.read_parquet(
+            docs_dir, columns=CORPUS_COLUMNS + ["sha256", "doc_id"]
+        )
+
+    # ---- phase B: doc stats + global stats (tokenize pass 1) --------------
+    if _phase_done(docstats_dir):
+        report["phases_skipped"].append("docstats")
+        stats = read_json(_marker(docstats_dir))
+    else:
+        import shutil
+
+        if os.path.isdir(docstats_dir):
+            shutil.rmtree(docstats_dir)
+        ds_stats = mat_docs.map_batches(
+            DocStats, batch_format="pyarrow", batch_size=config.batch_size, concurrency=(1, 8)
+        )
+        ds_stats.write_parquet(docstats_dir)
+        back = ray.data.read_parquet(docstats_dir, columns=["dl"])
+        n_docs = back.count()
+        sum_dl = int(back.sum("dl") or 0)
+        stats = {"n_docs": int(n_docs), "sum_dl": sum_dl}
+        atomic_write_json(_marker(docstats_dir), stats)
+    n_docs = int(stats["n_docs"])
+    sum_dl = int(stats["sum_dl"])
+    avgdl = (float(sum_dl) / float(n_docs)) if n_docs else 1.0
+
+    # ---- phase C: hot terms + salted partitioned postings spill -----------
+    if _phase_done(shuffle_dir):
+        report["phases_skipped"].append("shuffle")
+        shuffle_meta = read_json(_marker(shuffle_dir))
+        hot_terms = shuffle_meta["hot_terms"]
+    else:
+        import shutil
+
+        if os.path.isdir(shuffle_dir):
+            shutil.rmtree(shuffle_dir)
+        hot_terms = estimate_hot_terms(mat_docs, n_docs, config)
+        ds_postings = mat_docs.map_batches(
+            FlatPostings,
+            fn_constructor_kwargs={
+                "num_partitions": config.num_partitions,
+                "num_salts": config.num_salts,
+                "hot_terms": hot_terms,
+            },
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=(1, 8),
+        )
+        ds_postings.write_parquet(shuffle_dir, partition_cols=["skey"])
+        skeys_present = sorted(
+            int(name.split("=")[1])
+            for name in os.listdir(shuffle_dir)
+            if name.startswith("skey=")
+        )
+        atomic_write_json(
+            _marker(shuffle_dir), {"hot_terms": hot_terms, "skeys": skeys_present}
+        )
+    shuffle_meta = read_json(_marker(shuffle_dir))
+    skeys_present = shuffle_meta["skeys"]
+
+    # ---- phase D: per-partition merge (actor pool), checkpoint anti-join --
+    done = completed_partitions(index_dir)
+    pending = [s for s in skeys_present if s not in done]
+    report["partitions_skipped"] = len(skeys_present) - len(pending)
+    report["partitions_merged"] = len(pending)
+    if pending:
+        work = ray.data.from_items([{"skey": int(s)} for s in pending])
+        n_actors = max(1, min(len(pending), int(ray.cluster_resources().get("CPU", 4)) - 1))
+        work.map_batches(
+            MergeActor,
+            fn_constructor_kwargs={
+                "index_dir": index_dir,
+                "avgdl": avgdl,
+                "config_json": config.to_json(),
+            },
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=n_actors,
+            num_cpus=1,
+        ).materialize()
+    done = completed_partitions(index_dir)
+    missing = [s for s in skeys_present if s not in done]
+    if missing:
+        raise RuntimeError(f"merge incomplete: partitions {missing} missing checkpoints")
+
+    # ---- finalize: manifest (deterministic content — no wall clock) -------
+    partitions = {
+        str(skey): {
+            "pkey": ck["pkey"],
+            "salt": ck["salt"],
+            "n_terms": ck["metrics"]["n_terms"],
+            "n_postings": ck["metrics"]["n_postings"],
+            "output_sha256": ck["output_sha256"],
+        }
+        for skey, ck in sorted(done.items())
+    }
+    manifest = {
+        "version": 1,
+        "config": config.to_json(),
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "hot_terms": hot_terms,
+        "partitions": partitions,
+        "lineage": {
+            "source": corpus if isinstance(corpus, str) else "<dataset>",
+            "n_postings": sum(p["n_postings"] for p in partitions.values()),
+            "n_terms_with_salt_dups": sum(p["n_terms"] for p in partitions.values()),
+        },
+    }
+    save_manifest(index_dir, manifest)
+    if cleanup_shuffle:
+        import shutil
+
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+    return {"manifest": manifest, "report": report}

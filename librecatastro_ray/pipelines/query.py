@@ -1,0 +1,384 @@
+"""Query engine — the reference's Elasticsearch query surface re-implemented
+over the on-disk term-partitioned index (SURVEY.md §2.Q):
+
+    Q1 match          BM25-scored term/OR query        (elasticsearch_utils.py:115-117,
+                                                        cadaster_entry.py:66)
+    Q2 prefix         keyword prefix filter + analyzed-field dictionary scan
+                                                       (elasticsearch_utils.py:113-114)
+    Q3 bool.must      conjunction, sum of clause scores (elasticsearch_utils.py:111-119)
+    Q4 top-k          score desc, doc_id asc, from=0    (elasticsearch_utils.py:120-122)
+    Q5 hits.total     exact count                       (cadaster_entry.py:68-71)
+
+Design: a ``QueryEngine`` is cheap, stateful, file-backed — term dictionaries
+are cached per (partition, salt); posting blocks are read with parquet
+predicate pushdown on ``term`` and decoded to numpy.  A hot (salted) term's
+per-salt runs are disjoint doc subsets (doc_id % S), so they merge by
+concatenation + one argsort — the logical "second merge stage" of the salting
+scheme, executed lazily at read time.
+
+``SearchActor`` wraps the engine as an actor-pool UDF for batch query
+evaluation: ``queries_ds.map_batches(SearchActor, concurrency=N)`` — the
+stateful-stage pattern fixing the reference's per-record client connections
+(reference: cadaster_entry.py:48,57 opens a new ES client per document).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from librecatastro_ray.config import IndexConfig
+from librecatastro_ray.functions.bm25 import idf as idf_fn
+from librecatastro_ray.functions.bm25 import tf_norm, topk_indices
+from librecatastro_ray.functions.codec import delta_decode, varbyte_decode
+from librecatastro_ray.functions.hashing import term_hash
+from librecatastro_ray.functions.tokenizer import tokenize
+from librecatastro_ray.stages.merge import blocks_file, dict_file
+from librecatastro_ray.state.manifest import load_manifest
+
+RESULT_SCHEMA = pa.schema(
+    [("rank", pa.int64()), ("doc_id", pa.int64()), ("score", pa.float64())]
+)
+
+
+def _empty_result() -> pa.Table:
+    return pa.table(
+        {"rank": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        self.config = IndexConfig.from_json(self.manifest["config"])
+        self.n_docs: int = int(self.manifest["n_docs"])
+        self.sum_dl: int = int(self.manifest["sum_dl"])
+        self.avgdl: float = (float(self.sum_dl) / float(self.n_docs)) if self.n_docs else 1.0
+        self.hot: set[str] = set(self.manifest["hot_terms"])
+        self._dict_cache: dict[tuple[int, int], pa.Table] = {}
+        self._docstats: pads.Dataset | None = None
+
+    # ---------------- internals ----------------
+
+    def _salts(self, term: str) -> list[int]:
+        return list(range(self.config.num_salts)) if term in self.hot else [0]
+
+    def _pkey(self, term: str) -> int:
+        return term_hash(term) % self.config.num_partitions
+
+    def _dict_table(self, pkey: int, salt: int) -> pa.Table:
+        key = (pkey, salt)
+        t = self._dict_cache.get(key)
+        if t is None:
+            path = dict_file(self.index_dir, pkey, salt)
+            if os.path.exists(path):
+                t = pq.read_table(path)
+            else:
+                t = pa.table({"term": pa.array([], pa.string()),
+                              "df": pa.array([], pa.int64()),
+                              "cf": pa.array([], pa.int64())})
+            self._dict_cache[key] = t
+        return t
+
+    def term_df(self, term: str) -> int:
+        """Total document frequency (summed over salt runs for hot terms)."""
+        pkey = self._pkey(term)
+        total = 0
+        for salt in self._salts(term):
+            d = self._dict_table(pkey, salt)
+            m = pc.equal(d["term"], term)
+            sub = d.filter(m)
+            if len(sub):
+                total += int(sub["df"][0].as_py())
+        return total
+
+    def _read_blocks(self, term: str, salt: int) -> pa.Table | None:
+        path = blocks_file(self.index_dir, self._pkey(term), salt)
+        if not os.path.exists(path):
+            return None
+        t = pq.read_table(path, filters=[("term", "==", term)])
+        return t if len(t) else None
+
+    def load_postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full decoded postings of a term, doc-sorted:
+        (doc_ids int64, tf int64, dl int64)."""
+        docs_l, tfs_l, dls_l = [], [], []
+        for salt in self._salts(term):
+            bt = self._read_blocks(term, salt)
+            if bt is None:
+                continue
+            for i in range(len(bt)):
+                docs_l.append(delta_decode(varbyte_decode(bt["docs"][i].as_py())))
+                tfs_l.append(varbyte_decode(bt["tfs"][i].as_py()).astype(np.int64))
+                dls_l.append(varbyte_decode(bt["dls"][i].as_py()).astype(np.int64))
+        if not docs_l:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        docs = np.concatenate(docs_l).astype(np.int64)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        order = np.argsort(docs, kind="stable")
+        return docs[order], tfs[order], dls[order]
+
+    def _term_contribution(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, bm25 contribution) for one term — exact formula, shared
+        with the oracle."""
+        docs, tfs, dls = self.load_postings(term)
+        if len(docs) == 0:
+            return docs, np.zeros(0, dtype=np.float64)
+        df = len(docs)
+        w = float(idf_fn(df, self.n_docs))
+        contrib = w * tf_norm(tfs, dls, self.avgdl, self.config.k1, self.config.b)
+        return docs, contrib
+
+    @staticmethod
+    def _accumulate(doc_arrays: list[np.ndarray], score_arrays: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+        """Term-at-a-time accumulation: per-doc sums added in term order
+        (the oracle's accumulation order, so float sums match bitwise)."""
+        if not doc_arrays:
+            z = np.zeros(0, dtype=np.int64)
+            return z, np.zeros(0, dtype=np.float64)
+        all_docs = np.concatenate(doc_arrays)
+        all_scores = np.concatenate(score_arrays)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, all_scores)
+        return uniq, sums
+
+    def _topk_table(self, docs: np.ndarray, scores: np.ndarray, k: int) -> pa.Table:
+        sel = topk_indices(scores, docs, k)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64), pa.int64()),
+                "doc_id": pa.array(docs[sel], pa.int64()),
+                "score": pa.array(scores[sel], pa.float64()),
+            }
+        )
+
+    def _docstats_ds(self) -> pads.Dataset:
+        if self._docstats is None:
+            self._docstats = pads.dataset(
+                os.path.join(self.index_dir, "docstats"), format="parquet"
+            )
+        return self._docstats
+
+    # ---------------- query surface ----------------
+
+    def match(self, text: str, k: int = 10) -> pa.Table:
+        """Q1+Q4: analyzed BM25 match, top-k (rank, doc_id, score)."""
+        doc_arrays, score_arrays = [], []
+        for term in tokenize(text):
+            d, s = self._term_contribution(term)
+            if len(d):
+                doc_arrays.append(d)
+                score_arrays.append(s)
+        docs, scores = self._accumulate(doc_arrays, score_arrays)
+        return self._topk_table(docs, scores, k)
+
+    def bool_must(
+        self,
+        content_terms: list[str],
+        k: int = 10,
+        keyword_eq: list[tuple[str, str]] | None = None,
+        keyword_prefix: list[tuple[str, str]] | None = None,
+    ) -> pa.Table:
+        """Q3: conjunction.  Content clauses are BM25-scored; keyword clauses
+        are constant-score 1.0 (ES filter-context rewrite).  Uses block-level
+        skipping: after the rarest clause fixes the candidate set, other
+        clauses only decode blocks whose doc range intersects it."""
+        if not content_terms and not keyword_eq and not keyword_prefix:
+            return _empty_result()
+
+        candidate: np.ndarray | None = None
+        doc_arrays, score_arrays = [], []
+        # evaluate content terms rarest-first for candidate shrinking, but
+        # ACCUMULATE in clause order for float-sum identity with the oracle
+        infos = []
+        for term in content_terms:
+            df = self.term_df(term)
+            infos.append((term, df))
+        for term, df in sorted(infos, key=lambda x: x[1]):
+            if df == 0:
+                return _empty_result()
+            if candidate is None or df <= self.config.block_size:
+                docs, tfs, dls = self.load_postings(term)
+            else:
+                docs, tfs, dls = self._load_postings_skipping(term, candidate)
+            candidate = docs if candidate is None else candidate[np.isin(candidate, docs)]
+            if len(candidate) == 0:
+                return _empty_result()
+        # now score in clause order over the final candidate set
+        for term in content_terms:
+            docs, tfs, dls = self._load_postings_skipping(term, candidate)
+            mask = np.isin(docs, candidate)
+            d = docs[mask]
+            df = self.term_df(term)
+            w = float(idf_fn(df, self.n_docs))
+            contrib = w * tf_norm(tfs[mask], dls[mask], self.avgdl, self.config.k1, self.config.b)
+            doc_arrays.append(d)
+            score_arrays.append(contrib)
+        for field_name, value in keyword_eq or []:
+            d = self.keyword_docs(field_name, value, prefix=False)
+            candidate = d if candidate is None else candidate[np.isin(candidate, d)]
+            doc_arrays.append(d)
+            score_arrays.append(np.ones(len(d), dtype=np.float64))
+        for field_name, value in keyword_prefix or []:
+            d = self.keyword_docs(field_name, value, prefix=True)
+            candidate = d if candidate is None else candidate[np.isin(candidate, d)]
+            doc_arrays.append(d)
+            score_arrays.append(np.ones(len(d), dtype=np.float64))
+        if candidate is None or len(candidate) == 0:
+            return _empty_result()
+        docs, scores = self._accumulate(doc_arrays, score_arrays)
+        keep = np.isin(docs, candidate)
+        return self._topk_table(docs[keep], scores[keep], k)
+
+    def _load_postings_skipping(
+        self, term: str, candidate: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode only blocks whose [first, last] doc range can intersect the
+        candidate set (skip pointers = per-block last_doc)."""
+        cand = np.sort(candidate)
+        docs_l, tfs_l, dls_l = [], [], []
+        for salt in self._salts(term):
+            bt = self._read_blocks(term, salt)
+            if bt is None:
+                continue
+            last = bt["last_doc"].to_numpy()
+            # block b covers (last[b-1], last[b]] within this salt run
+            prev = np.empty_like(last)
+            prev[0] = -1
+            prev[1:] = last[:-1]
+            lo_idx = np.searchsorted(cand, prev, side="right")
+            hi_idx = np.searchsorted(cand, last, side="right")
+            wanted = np.nonzero(hi_idx > lo_idx)[0]
+            for i in wanted:
+                docs_l.append(delta_decode(varbyte_decode(bt["docs"][int(i)].as_py())))
+                tfs_l.append(varbyte_decode(bt["tfs"][int(i)].as_py()).astype(np.int64))
+                dls_l.append(varbyte_decode(bt["dls"][int(i)].as_py()).astype(np.int64))
+        if not docs_l:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        docs = np.concatenate(docs_l).astype(np.int64)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        order = np.argsort(docs, kind="stable")
+        return docs[order], tfs[order], dls[order]
+
+    def prefix_content(self, prefix: str, k: int = 10) -> pa.Table:
+        """Q2 on the analyzed field: term-dictionary range scan → OR of
+        postings, constant score 1.0."""
+        terms = self.expand_prefix(prefix)
+        doc_sets = []
+        for term in terms:
+            d, _, _ = self.load_postings(term)
+            if len(d):
+                doc_sets.append(d)
+        if not doc_sets:
+            return _empty_result()
+        docs = np.unique(np.concatenate(doc_sets))
+        return self._topk_table(docs, np.ones(len(docs), dtype=np.float64), k)
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """All dictionary terms with the given prefix (scans every partition's
+        dictionary — the dictionaries are the small artifact)."""
+        out: set[str] = set()
+        for pkey in range(self.config.num_partitions):
+            for salt in range(self.config.num_salts):
+                d = self._dict_table(pkey, salt)
+                if len(d) == 0:
+                    continue
+                m = pc.starts_with(d["term"], prefix)
+                sub = d.filter(m)
+                out.update(sub["term"].to_pylist())
+        return sorted(out)
+
+    def count(self, text: str) -> int:
+        """Q5: exact hits.total of a match query."""
+        doc_sets = []
+        for term in tokenize(text):
+            d, _, _ = self.load_postings(term)
+            if len(d):
+                doc_sets.append(d)
+        if not doc_sets:
+            return 0
+        return int(len(np.unique(np.concatenate(doc_sets))))
+
+    def exists(self, text: str) -> bool:
+        """The reference's from_elasticsearch existence probe
+        (cadaster_entry.py:61-77): hits.total > 0."""
+        return self.count(text) > 0
+
+    def keyword_docs(self, field_name: str, value: str, prefix: bool = False) -> np.ndarray:
+        """Exact / prefix match on a keyword column (repo, path, lang,
+        commit) via parquet predicate pushdown over docstats."""
+        ds = self._docstats_ds()
+        if prefix:
+            # coarse pushdown range + exact refine
+            f = (pads.field(field_name) >= value)
+            t = ds.to_table(columns=["doc_id", field_name], filter=f)
+            m = pc.starts_with(t[field_name], value)
+            t = t.filter(m)
+        else:
+            t = ds.to_table(columns=["doc_id"], filter=pads.field(field_name) == value)
+        return np.sort(t["doc_id"].to_numpy())
+
+    def hydrate(self, doc_ids: np.ndarray | list[int]) -> pa.Table:
+        """Forward-index lookup: docstats rows for result doc ids (the
+        analogue of fetching _source for hits)."""
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        ds = self._docstats_ds()
+        t = ds.to_table(filter=pads.field("doc_id").isin(ids.tolist()))
+        order = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+        return t.take(order)
+
+
+class SearchActor:
+    """Actor-pool UDF for batch query evaluation: one QueryEngine per actor,
+    loaded once in __init__ (the stateful-stage fix for the reference's
+    per-record connection churn, reference: cadaster_entry.py:48,57)."""
+
+    def __init__(self, index_dir: str):
+        self.engine = QueryEngine(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_qid, out_rank, out_doc, out_score = [], [], [], []
+        for row in batch.to_pylist():
+            qid = row["query_id"]
+            kind = row["kind"]
+            k = int(row.get("k") or 10)
+            if kind == "match":
+                res = self.engine.match(row["text"], k)
+            elif kind == "bool_must":
+                res = self.engine.bool_must(list(row["must_terms"]), k)
+            elif kind == "prefix_content":
+                res = self.engine.prefix_content(row["prefix"], k)
+            elif kind == "count":
+                n = self.engine.count(row["text"])
+                out_qid.append(qid)
+                out_rank.append(0)
+                out_doc.append(-1)
+                out_score.append(float(n))
+                continue
+            else:
+                raise ValueError(f"unknown query kind: {kind}")
+            n = len(res)
+            out_qid.extend([qid] * n)
+            out_rank.extend(res["rank"].to_pylist())
+            out_doc.extend(res["doc_id"].to_pylist())
+            out_score.extend(res["score"].to_pylist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )

@@ -1,0 +1,175 @@
+"""End-to-end: build the index with Ray Data, answer the reference query set,
+compare rank-identically against the pure-Python oracle (ids exact, scores
+within 1e-6, ranks exact) — the analogue of the reference's oracle-backed
+golden-count tests (reference: src/tests/parsers/parser_xml_tests.py:9-21)."""
+
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from librecatastro_ray.functions.hashing import sha256_hex
+from librecatastro_ray.pipelines.query import QueryEngine
+from librecatastro_ray.sources.synth import reference_query_set
+
+
+@pytest.fixture(scope="module")
+def engine(built_index):
+    index_dir, _ = built_index
+    return QueryEngine(index_dir)
+
+
+def test_build_artifacts_exist(built_index):
+    index_dir, result = built_index
+    assert os.path.exists(os.path.join(index_dir, "manifest.json"))
+    assert os.path.isdir(os.path.join(index_dir, "parts"))
+    assert os.path.isdir(os.path.join(index_dir, "checkpoints"))
+    m = result["manifest"]
+    assert m["n_docs"] > 0
+    assert m["lineage"]["n_postings"] > 0
+    assert len(m["partitions"]) > 0
+
+
+def test_doc_ids_match_oracle(engine, oracle_small):
+    """Dense ids from sorted (repo, path) — engine vs oracle."""
+    stats = pads.dataset(os.path.join(engine.index_dir, "docstats")).to_table()
+    stats = stats.sort_by("doc_id")
+    assert stats["doc_id"].to_pylist() == list(range(oracle_small.n_docs))
+    assert stats["repo"].to_pylist() == oracle_small.repos
+    assert stats["path"].to_pylist() == oracle_small.paths
+
+
+def test_global_stats_match(engine, oracle_small):
+    assert engine.n_docs == oracle_small.n_docs
+    assert abs(engine.avgdl - oracle_small.avgdl) < 1e-12
+
+
+def test_dedup_upsert_semantics(engine, corpus_small):
+    """Duplicate (repo, path) keys keep exactly one row — the max-sha winner
+    (upsert by id, reference: cadaster_entry.py:53)."""
+    stats = pads.dataset(os.path.join(engine.index_dir, "docstats")).to_table()
+    keys = list(zip(stats["repo"].to_pylist(), stats["path"].to_pylist()))
+    assert len(keys) == len(set(keys))
+    # corpus has duplicates, so dedup actually removed rows
+    assert len(keys) < corpus_small.num_rows
+
+
+def test_sha256_row_invariant(engine, corpus_small):
+    """Per-row content sha256 equality vs the source table (BASELINE.json
+    input_hint) for every doc surfaced by a query."""
+    res = engine.match("def", k=20)
+    hydrated = engine.hydrate(res["doc_id"].to_numpy())
+    src = {}
+    for r in corpus_small.to_pylist():
+        sha = sha256_hex(r["content"] or "")
+        key = (r["repo"], r["path"])
+        if key not in src or sha > src[key]:
+            src[key] = sha
+    for row in hydrated.to_pylist():
+        assert row["sha256"] == src[(row["repo"], row["path"])]
+
+
+def _oracle_eval(oracle, q):
+    kind = q["kind"]
+    if kind == "match":
+        return oracle.match(q["text"], q["k"])
+    if kind == "bool_must":
+        return oracle.bool_must(q["must_terms"], q["k"])
+    if kind == "prefix_content":
+        return oracle.prefix_content(q["prefix"], q["k"])
+    if kind == "count":
+        return oracle.count(q["text"])
+    raise ValueError(kind)
+
+
+def _engine_eval(engine, q):
+    kind = q["kind"]
+    if kind == "match":
+        return engine.match(q["text"], q["k"])
+    if kind == "bool_must":
+        return engine.bool_must(q["must_terms"], q["k"])
+    if kind == "prefix_content":
+        return engine.prefix_content(q["prefix"], q["k"])
+    if kind == "count":
+        return engine.count(q["text"])
+    raise ValueError(kind)
+
+
+def test_rank_identity_reference_query_set(engine, oracle_small):
+    for q in reference_query_set():
+        expected = _oracle_eval(oracle_small, q)
+        got = _engine_eval(engine, q)
+        if q["kind"] == "count":
+            assert got == expected, q
+            continue
+        got_rows = got.to_pylist()
+        assert len(got_rows) == len(expected), q
+        for rank, (row, (exp_doc, exp_score)) in enumerate(zip(got_rows, expected), 1):
+            assert row["rank"] == rank, q
+            assert row["doc_id"] == exp_doc, (q, rank)
+            assert abs(row["score"] - exp_score) < 1e-6, (q, rank)
+
+
+def test_keyword_prefix_and_eq(engine, oracle_small):
+    # prefix on a keyword column (Q2, the reference's dedup-probe prefix,
+    # elasticsearch_utils.py:113-114)
+    some_repo = oracle_small.repos[0]
+    pref = some_repo[:6]
+    got = engine.keyword_docs("repo", pref, prefix=True)
+    exp = sorted(d for d, r in enumerate(oracle_small.repos) if r.startswith(pref))
+    assert list(got) == exp
+    got_eq = engine.keyword_docs("lang", "py", prefix=False)
+    exp_eq = sorted(d for d, v in enumerate(oracle_small.langs) if v == "py")
+    assert list(got_eq) == exp_eq
+
+
+def test_bool_must_with_keyword_clauses(engine, oracle_small):
+    got = engine.bool_must(["def"], k=10, keyword_eq=[("lang", "py")])
+    exp = oracle_small.bool_must(["def"], k=10, keyword_eq=[("lang", "py")])
+    assert got["doc_id"].to_pylist() == [d for d, _ in exp]
+    for row, (_, s) in zip(got.to_pylist(), exp):
+        assert abs(row["score"] - s) < 1e-6
+
+
+def test_salting_actually_used(engine):
+    """Hot terms exist and their postings live in multiple salt runs, and the
+    salted result equals the oracle (covered above) — verify the layout."""
+    assert len(engine.hot) > 0, "corpus should produce hot terms"
+    term = sorted(engine.hot)[0]
+    pkey = engine._pkey(term)
+    salted_runs = 0
+    for salt in range(engine.config.num_salts):
+        bt = engine._read_blocks(term, salt)
+        if bt is not None:
+            salted_runs += 1
+    assert salted_runs > 1
+
+
+def test_search_actor_batch(built_index, oracle_small):
+    """Batch query evaluation through the actor-pool map_batches path."""
+    import ray.data
+
+    from librecatastro_ray.pipelines.query import SearchActor
+    from librecatastro_ray.sources.synth import reference_query_set
+
+    index_dir, _ = built_index
+    queries = [q for q in reference_query_set() if q["kind"] == "match"]
+    ds = ray.data.from_items(
+        [
+            {"query_id": q["query_id"], "kind": q["kind"], "text": q["text"],
+             "must_terms": [], "prefix": "", "k": q["k"]}
+            for q in queries
+        ]
+    )
+    out = ds.map_batches(
+        SearchActor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    for q in queries:
+        sub = out[out.query_id == q["query_id"]].sort_values("rank")
+        exp = oracle_small.match(q["text"], q["k"])
+        assert sub["doc_id"].tolist() == [d for d, _ in exp], q

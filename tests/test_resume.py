@@ -1,0 +1,82 @@
+"""Checkpoint / resume: kill after partition j, resume, identical final
+manifest; completed partitions not recomputed (SURVEY.md §5.2) —
+reproducing the reference's resumable-crawl semantics (anti-join skip of
+already-scraped streets, reference: src/utils/elasticsearch_utils.py:100-136)."""
+
+import json
+import os
+import shutil
+
+from librecatastro_ray.config import IndexConfig
+from librecatastro_ray.pipelines.build import build_index
+from librecatastro_ray.pipelines.query import QueryEngine
+from librecatastro_ray.sources.synth import make_corpus
+from librecatastro_ray.state.manifest import drop_index, load_manifest
+
+
+def _cfg():
+    return IndexConfig(num_partitions=4, num_salts=2, hot_df_ratio=0.2, block_size=16)
+
+
+def test_resume_after_partial_merge(tmp_path):
+    corpus = make_corpus(n_docs=200, seed=7, vocab_size=500, mean_tokens=40)
+    full_dir = str(tmp_path / "full")
+    r1 = build_index(corpus, full_dir, _cfg())
+    manifest_full = load_manifest(full_dir)
+
+    # simulate a crash: copy the index, delete the manifest and HALF of the
+    # partition outputs + checkpoints
+    crash_dir = str(tmp_path / "crash")
+    shutil.copytree(full_dir, crash_dir)
+    os.remove(os.path.join(crash_dir, "manifest.json"))
+    cks = sorted(os.listdir(os.path.join(crash_dir, "checkpoints")))
+    killed = cks[: len(cks) // 2]
+    for name in killed:
+        skey = int(name[len("part-") : -len(".json")])
+        os.remove(os.path.join(crash_dir, "checkpoints", name))
+        pkey, salt = divmod(skey, 2)
+        for prefix in ("blocks", "dict"):
+            p = os.path.join(crash_dir, "parts", f"{prefix}-{pkey:04d}-{salt:02d}.parquet")
+            if os.path.exists(p):
+                os.remove(p)
+
+    r2 = build_index(corpus, crash_dir, _cfg(), resume=True)
+    assert r2["report"]["partitions_merged"] == len(killed)
+    assert r2["report"]["partitions_skipped"] == len(cks) - len(killed)
+    assert "docs" in r2["report"]["phases_skipped"]
+    assert "shuffle" in r2["report"]["phases_skipped"]
+
+    # byte-identical final manifest (deterministic content, no wall clock)
+    m_resumed = load_manifest(crash_dir)
+    assert json.dumps(m_resumed, sort_keys=True) == json.dumps(manifest_full, sort_keys=True)
+
+    # identical query results
+    e1, e2 = QueryEngine(full_dir), QueryEngine(crash_dir)
+    for text in ["def", "id_00001 id_00002", "return if"]:
+        t1, t2 = e1.match(text, 10), e2.match(text, 10)
+        assert t1.equals(t2)
+
+
+def test_partial_parquet_write_invisible(tmp_path):
+    """A leftover .tmp file from a killed merge task never corrupts the
+    index (atomic write = temp + os.replace)."""
+    corpus = make_corpus(n_docs=100, seed=9, vocab_size=300, mean_tokens=30)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, _cfg())
+    # drop a garbage tmp file; engine must ignore it
+    with open(os.path.join(d, "parts", "blocks-0000-00.parquet.tmp"), "wb") as f:
+        f.write(b"garbage")
+    e = QueryEngine(d)
+    assert e.match("id_00001", 10) is not None
+
+
+def test_rebuild_is_idempotent_and_drop(tmp_path):
+    corpus = make_corpus(n_docs=100, seed=11, vocab_size=300, mean_tokens=30)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, _cfg())
+    r2 = build_index(corpus, d, _cfg(), resume=True)
+    assert r2["report"]["phases_skipped"] == ["all"]
+    # drop (idempotent delete, reference: elasticsearch_utils.py:85-98)
+    assert drop_index(d) is True
+    assert drop_index(d) is False
+    assert not os.path.exists(d)
