@@ -1,44 +1,290 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The engine's input table (BASELINE.json input_hint: repo, path, commit, lang,
+content) is derived deterministically from the driver's ``documents`` table
+(librecatastro_ray.sources.docs_table), and the same derivation is mirrored in
+the oracle SQL, so every index/query operator gets a DuckDB value-hash check.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+CACHE_ROOT = os.environ.get("LCRAY_CACHE", "/tmp/lcray_idx_cache")
+
+# ---------------------------------------------------------------------------
+# index cache (one per sf_dir; built on first use)
+# ---------------------------------------------------------------------------
+
+_ENGINES: dict[str, Any] = {}
+
+
+def _engine(sf_dir: str):
+    from librecatastro_ray.config import IndexConfig
+    from librecatastro_ray.pipelines.build import build_index
+    from librecatastro_ray.pipelines.query import QueryEngine
+    from librecatastro_ray.sources.docs_table import corpus_from_documents
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx_dir = os.path.join(CACHE_ROOT, key)
+    if idx_dir not in _ENGINES:
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            build_index(
+                corpus_from_documents(sf_dir),
+                idx_dir,
+                IndexConfig(num_partitions=4, num_salts=2, hot_df_ratio=0.05),
+            )
+        _ENGINES[idx_dir] = QueryEngine(idx_dir)
+    return _ENGINES[idx_dir]
+
+
+def _docstats_table(sf_dir: str) -> pa.Table:
+    import pyarrow.dataset as pads
+
+    eng = _engine(sf_dir)
+    return pads.dataset(os.path.join(eng.index_dir, "docstats"), format="parquet").to_table()
+
+
+def _rounded_rank(t: pa.Table, k: int) -> pa.Table:
+    """Re-rank a scored result by (round(score, 6) desc, doc_id asc) — the
+    float-noise-insensitive ordering shared with the SQL oracle."""
+    scores = np.round(t["score"].to_numpy(), 6)
+    docs = t["doc_id"].to_numpy()
+    order = np.lexsort((docs, -scores))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "score": pa.array(scores[order], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared oracle-SQL CTE prefix (mirrors sources/docs_table.py + the tokenizer)
+# ---------------------------------------------------------------------------
+
+_BASE_CTE = """
+WITH corpus AS (
+    SELECT source AS repo,
+           'docs/' || lang || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS path,
+           lang, text AS content
+    FROM documents
+),
+ids AS (
+    SELECT repo, path, lang, content,
+           row_number() OVER (ORDER BY repo, path) - 1 AS doc_id
+    FROM corpus
+),
+toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(coalesce(content, '')), '[^a-z0-9_]+'),
+                              t -> t <> '')) AS term
+    FROM ids
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT i.doc_id, coalesce(t.dl, 0)::BIGINT AS dl
+       FROM ids i LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS dl
+                             FROM toks GROUP BY doc_id) t USING (doc_id)),
+stats AS (SELECT count(*)::BIGINT AS n_docs,
+                 (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+          FROM dl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+"""
+
+
+def _bm25_sql(terms: list[str], k: int, must_all: bool = False, lang_eq: str | None = None) -> str:
+    """BM25 top-k SQL over the derived corpus (exact engine formula:
+    k1=1.2, b=0.75, idf=ln(1+(N-df+0.5)/(df+0.5)))."""
+    vals = ", ".join("('" + t + "')" for t in terms)
+    having = f"HAVING count(*) = {len(terms)}" if must_all else ""
+    extra_score = ""
+    lang_join = ""
+    if lang_eq is not None:
+        lang_join = f"JOIN ids ON ids.doc_id = tf.doc_id AND ids.lang = '{lang_eq}'"
+        extra_score = " + 1.0"
+    return f"""
+{_BASE_CTE},
+qterms(term) AS (VALUES {vals}),
+contrib AS (
+    SELECT tf.doc_id,
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM qterms q
+    JOIN tf ON tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    {lang_join}
+    CROSS JOIN stats s
+),
+scores AS (SELECT doc_id, sum(c){extra_score} AS score, count(*) AS nt
+           FROM contrib GROUP BY doc_id {having})
+SELECT rank, doc_id, score FROM (
+    SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank,
+           doc_id, round(score, 6) AS score
+    FROM scores
+) WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over the sf0.001-derived corpus and
+    answer a BM25 top-10 match, hydrated with the forward index (repo, path,
+    sha256) — the full reference round-trip (store → search → fetch _source,
+    reference: cadaster_entry.py:46-77)."""
+    sf_dir = "/root/testdata/sf0.001"
+    eng = _engine(sf_dir)
+    res = _rounded_rank(eng.match("table value key", k=10**9), 10)
+    hyd = eng.hydrate(res["doc_id"].to_numpy())
+    hyd_map = {r["doc_id"]: r for r in hyd.to_pylist()}
+    return pa.table(
+        {
+            "rank": res["rank"],
+            "doc_id": res["doc_id"],
+            "score": res["score"],
+            "repo": pa.array([hyd_map[d]["repo"] for d in res["doc_id"].to_pylist()], pa.string()),
+            "path": pa.array([hyd_map[d]["path"] for d in res["doc_id"].to_pylist()], pa.string()),
+            "sha256": pa.array([hyd_map[d]["sha256"] for d in res["doc_id"].to_pylist()], pa.string()),
+        }
+    )
+
+
+def _q_corpus_doc_stats(sf_dir: str) -> pa.Table:
+    t = _docstats_table(sf_dir)
+    return t.select(["doc_id", "repo", "path", "lang", "sha256", "dl"])
+
+
+def _q_postings_tf(sf_dir: str) -> pa.Table:
+    return _engine(sf_dir).export_postings()
+
+
+def _q_term_df(sf_dir: str) -> pa.Table:
+    return _engine(sf_dir).full_dictionary().select(["term", "df"])
+
+
+def _q_global_stats(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    d = eng.full_dictionary()
+    n_postings = int(pa.compute.sum(d["df"]).as_py() or 0)
+    return pa.table(
+        {
+            "n_docs": pa.array([eng.n_docs], pa.int64()),
+            "sum_dl": pa.array([eng.sum_dl], pa.int64()),
+            "n_terms": pa.array([len(d)], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+            "avgdl": pa.array([round(eng.avgdl, 6)], pa.float64()),
+        }
+    )
+
+
+def _q_match(sf_dir: str, text: str, k: int) -> pa.Table:
+    return _rounded_rank(_engine(sf_dir).match(text, k=10**9), k)
+
+
+def _q_bool_must(sf_dir: str, terms: list[str], k: int, lang_eq: str | None = None) -> pa.Table:
+    kw = [("lang", lang_eq)] if lang_eq else None
+    return _rounded_rank(_engine(sf_dir).bool_must(terms, k=10**9, keyword_eq=kw), k)
+
+
+def _q_prefix_keyword(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    docs = eng.keyword_docs("path", "docs/en/", prefix=True)
+    hyd = eng.hydrate(docs)
+    return hyd.select(["doc_id", "repo", "path"])
+
+
+def _q_prefix_content_df(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    terms = eng.expand_prefix("ta")
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([eng.term_df(t) for t in terms], pa.int64()),
+        }
+    )
+
+
+_HIT_PROBES = ["table", "value fast", "zzz_no_such_term"]
+
+
+def _q_hits_total(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    return pa.table(
+        {
+            "probe": pa.array(_HIT_PROBES, pa.string()),
+            "total": pa.array([eng.count(p) for p in _HIT_PROBES], pa.int64()),
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- index build artifacts (SURVEY §2: F2 doc ids, E3 stats, E4 postings)
+        "corpus_doc_stats": _q_corpus_doc_stats,
+        "postings_tf": _q_postings_tf,
+        "term_df": _q_term_df,
+        "index_global_stats": _q_global_stats,
+        # --- the reference query surface (SURVEY §2.Q)
+        "match_single": lambda sf: _q_match(sf, "table", 10),
+        "match_multi": lambda sf: _q_match(sf, "key value table part", 10),
+        "match_k1": lambda sf: _q_match(sf, "value", 1),
+        "bool_must2": lambda sf: _q_bool_must(sf, ["fast", "slow"], 10),
+        "bool_must_lang": lambda sf: _q_bool_must(sf, ["table"], 10, lang_eq="en"),
+        "prefix_keyword": _q_prefix_keyword,
+        "prefix_content_df": _q_prefix_content_df,
+        "hits_total": _q_hits_total,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "corpus_doc_stats": f"""
+{_BASE_CTE}
+SELECT i.doc_id, i.repo, i.path, i.lang,
+       sha256(coalesce(i.content, '')) AS sha256, dl.dl
+FROM ids i JOIN dl USING (doc_id)
+""",
+        "postings_tf": f"{_BASE_CTE} SELECT term, doc_id, tf FROM tf",
+        "term_df": f"{_BASE_CTE} SELECT term, df FROM df",
+        "index_global_stats": f"""
+{_BASE_CTE}
+SELECT s.n_docs, (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl,
+       (SELECT count(*) FROM df)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+       round(s.avgdl, 6) AS avgdl
+FROM stats s
+""",
+        "match_single": _bm25_sql(["table"], 10),
+        "match_multi": _bm25_sql(["key", "value", "table", "part"], 10),
+        "match_k1": _bm25_sql(["value"], 1),
+        "bool_must2": _bm25_sql(["fast", "slow"], 10, must_all=True),
+        "bool_must_lang": _bm25_sql(["table"], 10, must_all=True, lang_eq="en"),
+        "prefix_keyword": f"""
+{_BASE_CTE}
+SELECT doc_id, repo, path FROM ids WHERE path LIKE 'docs/en/%'
+""",
+        "prefix_content_df": f"{_BASE_CTE} SELECT term, df FROM df WHERE term LIKE 'ta%'",
+        "hits_total": f"""
+{_BASE_CTE}
+SELECT p.probe,
+       coalesce((SELECT count(DISTINCT tf.doc_id) FROM tf
+                 WHERE tf.term IN (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(p.probe), '[^a-z0-9_]+'), t -> t <> '')))), 0)::BIGINT AS total
+FROM (VALUES ('table'), ('value fast'), ('zzz_no_such_term')) p(probe)
+""",
+    }

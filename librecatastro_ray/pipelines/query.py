@@ -316,6 +316,55 @@ class QueryEngine:
         (cadaster_entry.py:61-77): hits.total > 0."""
         return self.count(text) > 0
 
+    def full_dictionary(self) -> pa.Table:
+        """Global (term, df, cf): per-(partition, salt) dictionaries with the
+        per-salt runs of hot terms summed — the E3 'per-term document
+        frequency' statistic the reference delegates to Lucene."""
+        tables = []
+        for pkey in range(self.config.num_partitions):
+            for salt in range(self.config.num_salts):
+                t = self._dict_table(pkey, salt)
+                if len(t):
+                    tables.append(t)
+        if not tables:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "cf": pa.array([], pa.int64())})
+        allt = pa.concat_tables(tables)
+        g = allt.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        return pa.table(
+            {"term": g["term"], "df": g["df_sum"].cast(pa.int64()),
+             "cf": g["cf_sum"].cast(pa.int64())}
+        )
+
+    def export_postings(self) -> pa.Table:
+        """Full index scan: decode every posting block back to flat
+        (term, doc_id, tf) rows (used by conformance checks)."""
+        terms_l, docs_l, tfs_l = [], [], []
+        for pkey in range(self.config.num_partitions):
+            for salt in range(self.config.num_salts):
+                path = blocks_file(self.index_dir, pkey, salt)
+                if not os.path.exists(path):
+                    continue
+                bt = pq.read_table(path, columns=["term", "n", "docs", "tfs"])
+                for i in range(len(bt)):
+                    d = delta_decode(varbyte_decode(bt["docs"][i].as_py()))
+                    f = varbyte_decode(bt["tfs"][i].as_py()).astype(np.int64)
+                    terms_l.extend([bt["term"][i].as_py()] * len(d))
+                    docs_l.append(d.astype(np.int64))
+                    tfs_l.append(f)
+        if not docs_l:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "term": pa.array(terms_l, pa.string()),
+                "doc_id": pa.array(np.concatenate(docs_l), pa.int64()),
+                "tf": pa.array(np.concatenate(tfs_l), pa.int64()),
+            }
+        )
+
     def keyword_docs(self, field_name: str, value: str, prefix: bool = False) -> np.ndarray:
         """Exact / prefix match on a keyword column (repo, path, lang,
         commit) via parquet predicate pushdown over docstats."""
