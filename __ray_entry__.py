@@ -21,6 +21,14 @@ import pyarrow as pa
 
 CACHE_ROOT = os.environ.get("LCRAY_CACHE", "/tmp/lcray_idx_cache")
 
+# stopword / language-marker vocabularies shared with the SQL oracles
+from librecatastro_ray.pipelines.training import LANG_MARKERS as LANG_SQL  # noqa: E402
+from librecatastro_ray.pipelines.training import STOPWORDS as STOP_SQL  # noqa: E402
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join("'" + w + "'" for w in words)
+
 # ---------------------------------------------------------------------------
 # index cache (one per sf_dir; built on first use)
 # ---------------------------------------------------------------------------
@@ -232,7 +240,27 @@ def _q_hits_total(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_ivf_topk(sf_dir: str) -> pa.Table:
+    from librecatastro_ray.pipelines.training import IvfIndex, _load_queries
+
+    idx = IvfIndex(sf_dir, n_cells=8)
+    qids, Q = _load_queries(sf_dir, 5)
+    rows = []
+    for qid, q in zip(qids, Q):
+        for rank, (vid, cos) in enumerate(idx.search(q, k=10, nprobe=2), 1):
+            if vid == qid:
+                continue
+            rows.append((int(qid), rank, vid, cos))
+    import pandas as pd
+
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cos"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    from librecatastro_ray.pipelines import relational as R
+    from librecatastro_ray.pipelines import training as T
+
     return {
         # --- index build artifacts (SURVEY §2: F2 doc ids, E3 stats, E4 postings)
         "corpus_doc_stats": _q_corpus_doc_stats,
@@ -248,6 +276,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_keyword": _q_prefix_keyword,
         "prefix_content_df": _q_prefix_content_df,
         "hits_total": _q_hits_total,
+        # --- text analysis (training-data ops)
+        "quality_scores": T.quality_scores,
+        "lang_id": T.lang_id,
+        "token_counts_by_lang": T.token_counts_by_lang,
+        "doc_fingerprints": T.doc_fingerprints,  # rows-only (order-sensitive rolling hash)
+        # --- deduplication family
+        "dedup_exact": T.exact_dedup,
+        "dedup_ngram_jaccard": lambda sf: T.ngram_jaccard_pairs(sf, 0.62),
+        "dedup_minhash_lsh": lambda sf: T.minhash_lsh_candidates(sf, 0.6),  # rows-only
+        "simhash_signatures": T.simhash_signatures,  # rows-only
+        "embedding_dup_pairs": lambda sf: T.embedding_dup_pairs(sf, 0.4),
+        # --- similarity search
+        "ann_topk": lambda sf: T.ann_topk(sf, n_queries=5, k=10),
+        "ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall unit-tested)
+        # --- multimodal stub (real plumbing, stubbed decoder)
+        "multimodal_decode": T.multimodal_decode_stub,
+        # --- relational shapes (filters, partial agg, broadcast join, top-k, window)
+        "lineitem_agg": R.lineitem_agg,
+        "orders_by_segment": R.orders_by_segment,
+        "topk_orders": R.topk_orders,
+        "events_hourly": R.events_hourly,
+        "filter_project_lineitem": R.filter_project_lineitem,
     }
 
 
@@ -286,5 +336,151 @@ SELECT p.probe,
                  WHERE tf.term IN (SELECT unnest(list_filter(
                      regexp_split_to_array(lower(p.probe), '[^a-z0-9_]+'), t -> t <> '')))), 0)::BIGINT AS total
 FROM (VALUES ('table'), ('value fast'), ('zzz_no_such_term')) p(probe)
+""",
+        "quality_scores": rf"""
+WITH f AS (
+    SELECT doc_id,
+           coalesce(text, '') AS t,
+           lower(coalesce(text, '')) AS lt
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           length(t)::BIGINT AS n_chars,
+           len(regexp_extract_all(lt, '[a-z0-9_]+'))::BIGINT AS n_tokens,
+           length(regexp_replace(lt, '[^a-z0-9_]', '', 'g'))::BIGINT AS alpha_chars,
+           length(regexp_replace(t, '[^\s]', '', 'g'))::BIGINT AS ws_chars,
+           len(list_filter(regexp_split_to_array(t, '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+           len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
+                           x -> x IN ({_sql_list(STOP_SQL)})))::BIGINT AS n_stop
+    FROM f
+)
+SELECT doc_id, n_chars, n_tokens, n_ws_tokens,
+       round(CASE WHEN n_tokens > 0 THEN alpha_chars::DOUBLE / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+       round(CASE WHEN n_chars > 0 THEN (n_chars - alpha_chars - ws_chars)::DOUBLE / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 6) AS stop_ratio
+FROM m
+""",
+        "lang_id": f"""
+WITH f AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           len(list_filter(toks, x -> x IN ({_sql_list(LANG_SQL["de"])})))::BIGINT AS c_de,
+           len(list_filter(toks, x -> x IN ({_sql_list(LANG_SQL["en"])})))::BIGINT AS c_en,
+           len(list_filter(toks, x -> x IN ({_sql_list(LANG_SQL["es"])})))::BIGINT AS c_es,
+           len(list_filter(toks, x -> x IN ({_sql_list(LANG_SQL["fr"])})))::BIGINT AS c_fr
+    FROM f
+)
+SELECT doc_id,
+       CASE WHEN c_de = 0 AND c_en = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       c_de, c_en, c_es, c_fr
+FROM c
+""",
+        "token_counts_by_lang": """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')))::BIGINT AS total_tokens,
+       sum(length(coalesce(text, '')))::BIGINT AS total_chars
+FROM documents GROUP BY lang
+""",
+        "dedup_exact": """
+SELECT sha256(coalesce(text, '')) AS sha256,
+       min(doc_id)::BIGINT AS doc_id_keep,
+       count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram_jaccard": """
+WITH g AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(coalesce(text, ''))) - 2, 0)),
+               i -> substr(lower(coalesce(text, '')), i, 3))) AS grams
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE, 6) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE, 6) >= 0.62
+""",
+        "embedding_dup_pairs": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+pairs AS (
+    SELECT q.query_id, e.vec_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])), 6) AS cos
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM pairs)
+SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= 10
+""",
+        "multimodal_decode": """
+WITH f AS (
+    SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+m AS (
+    SELECT doc_id, octet_length(encode(t))::BIGINT AS n_bytes,
+           upper(hex(encode(substr(t, 1, 8)))) AS head_hex
+    FROM f
+)
+SELECT doc_id, n_bytes, head_hex,
+       (n_bytes % 640)::BIGINT AS fake_width,
+       ((n_bytes * 7) % 480)::BIGINT AS fake_height
+FROM m
+""",
+        "lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "orders_by_segment": """
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+        "topk_orders": """
+SELECT rank, o_orderkey, o_totalprice FROM (
+    SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank,
+           o_orderkey, o_totalprice
+    FROM orders
+) WHERE rank <= 10
+""",
+        "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+        "filter_project_lineitem": """
+SELECT l_orderkey,
+       count(*)::BIGINT AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+GROUP BY l_orderkey
 """,
     }
