@@ -59,7 +59,9 @@ def _docstats_table(sf_dir: str) -> pa.Table:
     import pyarrow.dataset as pads
 
     eng = _engine(sf_dir)
-    return pads.dataset(os.path.join(eng.index_dir, "docstats"), format="parquet").to_table()
+    return pads.dataset(os.path.join(eng.index_dir, "docs"), format="parquet").to_table(
+        columns=["doc_id", "repo", "path", "lang", "sha256", "dl"]
+    )
 
 
 def _rounded_rank(t: pa.Table, k: int) -> pa.Table:

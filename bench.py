@@ -1,0 +1,215 @@
+"""Benchmark: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS CPUs (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {"build": s, "query": s, ...}, "sf": ..., "num_cpus": N,
+   "n_docs": ..., "docs_per_sec": ..., "qps": ...}
+
+--scaling: runs the same benchmark in two fresh processes at 8 and 32 CPUs
+on the same input and reports both throughputs + scaling efficiency
+(the in-sandbox stand-in for the N vs 4N node cluster rule; no real
+cluster exists here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("LCRAY_BENCH_AMPLIFY", "20"))
+WORK_ROOT = os.environ.get("LCRAY_BENCH_DIR", "/tmp/lcray_bench")
+
+
+def make_bench_corpus(sf_dir: str, amplify: int, out_dir: str) -> int:
+    """Deterministic amplified corpus from the documents table: each doc
+    becomes ``amplify`` variants with distinct (repo, path) keys and
+    deterministically varied content.  Cached on disk across runs (so the
+    scaling pair times compute, not corpus generation)."""
+    import pyarrow as pa
+    import ray.data
+
+    marker = os.path.join(out_dir, "_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)["n_docs"]
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+
+    def amplify_batch(batch: pa.Table) -> pa.Table:
+        repos, paths, commits, langs, contents = [], [], [], [], []
+        doc_ids = batch["doc_id"].to_pylist()
+        langs_in = batch["lang"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        for doc_id, lang, src, text in zip(doc_ids, langs_in, srcs, texts):
+            text = text or ""
+            for j in range(amplify):
+                repos.append(f"{src}/shard{j % 4}")
+                paths.append(f"docs/{lang}/{doc_id:08d}_{j:04d}.txt")
+                commits.append(f"{doc_id:020d}{j:020d}")
+                langs.append(lang)
+                off = (j * 17) % max(len(text), 1)
+                contents.append(f"{text}\nvariant_{j:04d} {text[off:off + 240]}")
+        return pa.table(
+            {
+                "repo": pa.array(repos, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "commit": pa.array(commits, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "content": pa.array(contents, pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "text"],
+    ).map_batches(amplify_batch, batch_format="pyarrow", batch_size=1024)
+    ds.write_parquet(out_dir)
+    n_docs = ray.data.read_parquet(out_dir).count()
+    with open(marker, "w") as f:
+        json.dump({"n_docs": n_docs, "amplify": amplify, "sf_dir": sf_dir}, f)
+    return n_docs
+
+
+def make_query_set(n: int = 200) -> list[dict]:
+    vocab = [
+        "table", "value", "key", "part", "row", "fast", "slow", "hash", "agg",
+        "scan", "merge", "batch", "sort", "window", "line", "spark", "the", "a",
+    ]
+    qs = []
+    for i in range(n):
+        kind = ["match", "match", "match", "bool_must", "prefix_content"][i % 5]
+        if kind == "match":
+            nterms = 1 + (i % 3)
+            terms = [vocab[(i * 7 + j * 3) % len(vocab)] for j in range(nterms)]
+            qs.append({"query_id": i, "kind": "match", "text": " ".join(terms),
+                       "must_terms": [], "prefix": "", "k": 10})
+        elif kind == "bool_must":
+            terms = [vocab[(i * 5) % len(vocab)], vocab[(i * 11 + 1) % len(vocab)]]
+            qs.append({"query_id": i, "kind": "bool_must", "text": "",
+                       "must_terms": list(dict.fromkeys(terms)), "prefix": "", "k": 10})
+        else:
+            qs.append({"query_id": i, "kind": "prefix_content", "text": "",
+                       "must_terms": [], "prefix": vocab[i % len(vocab)][:2], "k": 10})
+    return qs
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from librecatastro_ray.config import IndexConfig
+    from librecatastro_ray.pipelines.build import build_index
+    from librecatastro_ray.pipelines.query import SearchActor
+    from librecatastro_ray.pipelines.relational import lineitem_agg
+    from librecatastro_ray.pipelines.training import ann_topk
+    from librecatastro_ray.state.manifest import drop_index
+
+    sf_tag = os.path.basename(os.path.normpath(SF_DIR))
+    corpus_dir = os.path.join(WORK_ROOT, f"corpus_{sf_tag}_x{AMPLIFY}")
+    n_docs = make_bench_corpus(SF_DIR, AMPLIFY, corpus_dir)
+
+    # warm the page cache (untimed read), then time the build
+    ray.data.read_parquet(corpus_dir).count()
+    index_dir = os.path.join(WORK_ROOT, f"idx_{sf_tag}_cpus{NUM_CPUS}")
+    drop_index(index_dir)
+    cfg = IndexConfig(num_partitions=16, num_salts=4, hot_df_ratio=0.02)
+    t0 = time.monotonic()
+    build_index(corpus_dir, index_dir, cfg, resume=False)
+    build_sec = time.monotonic() - t0
+
+    # batch query evaluation through the actor pool
+    queries = make_query_set(200)
+    qds = ray.data.from_items(queries)
+    pool = max(2, NUM_CPUS // 2)
+    t0 = time.monotonic()
+    out = qds.map_batches(
+        SearchActor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=pool,
+        num_cpus=1,
+    ).count()
+    query_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    ann_topk(SF_DIR, n_queries=5, k=10)
+    ann_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    lineitem_agg(SF_DIR)
+    rel_sec = time.monotonic() - t0
+
+    ray.shutdown()
+    total = build_sec + query_sec + ann_sec + rel_sec
+    return {
+        "metric": "index build + BM25 batch query + ann + relational agg wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "build": round(build_sec, 3),
+            "query": round(query_sec, 3),
+            "ann": round(ann_sec, 3),
+            "relational": round(rel_sec, 3),
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "qps": round(len(queries) / query_sec, 1),
+        "result_rows": out,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    # efficiency on the build stage (the distributed pipeline under test)
+    tput_lo = r_lo["n_docs"] / r_lo["queries"]["build"]
+    tput_hi = r_hi["n_docs"] / r_hi["queries"]["build"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (fresh processes, num_cpus 8 vs 32; in-sandbox stand-in for N vs 4N nodes)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "build_sec_lo": r_lo["queries"]["build"],
+        "build_sec_hi": r_hi["queries"]["build"],
+        "docs_per_sec_lo": round(tput_lo, 1),
+        "docs_per_sec_hi": round(tput_hi, 1),
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+        "qps_lo": r_lo["qps"],
+        "qps_hi": r_hi["qps"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

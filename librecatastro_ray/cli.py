@@ -1,0 +1,139 @@
+"""CLI — the analogue of the reference's entry points
+(libreCatastro.py:21-72 argument surface + initialize_elasticsearch.py DDL):
+
+    python -m librecatastro_ray.cli build  --corpus DIR --index DIR [--partitions P] [--salts S] [--no-resume]
+    python -m librecatastro_ray.cli query  --index DIR --text "..." [--k 10] [--must t1 t2] [--prefix p] [--count]
+    python -m librecatastro_ray.cli drop   --index DIR
+    python -m librecatastro_ray.cli info   --index DIR
+
+Owns its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="librecatastro_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index from a parquet corpus")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--partitions", type=int, default=8)
+    b.add_argument("--salts", type=int, default=4)
+    b.add_argument("--hot-df-ratio", type=float, default=0.05)
+    b.add_argument("--no-resume", action="store_true")
+
+    q = sub.add_parser("query", help="query an index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--text", default=None, help="BM25 match query")
+    q.add_argument("--must", nargs="*", default=None, help="bool.must conjunction terms")
+    q.add_argument("--prefix", default=None, help="prefix on the analyzed field")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--count", action="store_true", help="print hits.total only")
+
+    d = sub.add_parser("drop", help="delete an index (idempotent)")
+    d.add_argument("--index", required=True)
+
+    i = sub.add_parser("info", help="print the index manifest summary")
+    i.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "build":
+        _init_ray()
+        from librecatastro_ray.config import IndexConfig
+        from librecatastro_ray.pipelines.build import build_index
+
+        cfg = IndexConfig(
+            num_partitions=args.partitions,
+            num_salts=args.salts,
+            hot_df_ratio=args.hot_df_ratio,
+        )
+        res = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
+        m = res["manifest"]
+        print(json.dumps({
+            "n_docs": m["n_docs"],
+            "n_postings": m["lineage"]["n_postings"],
+            "partitions": len(m["partitions"]),
+            "hot_terms": len(m["hot_terms"]),
+            "report": res["report"],
+        }))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "query":
+        from librecatastro_ray.pipelines.query import QueryEngine
+
+        eng = QueryEngine(args.index)
+        if args.count:
+            print(json.dumps({"total": eng.count(args.text or "")}))
+            return 0
+        if args.must:
+            res = eng.bool_must(list(args.must), k=args.k)
+        elif args.prefix is not None:
+            res = eng.prefix_content(args.prefix, k=args.k)
+        elif args.text is not None:
+            res = eng.match(args.text, k=args.k)
+        else:
+            p.error("query needs --text, --must or --prefix")
+            return 2
+        hyd = {r["doc_id"]: r for r in eng.hydrate(res["doc_id"].to_numpy()).to_pylist()}
+        for row in res.to_pylist():
+            h = hyd.get(row["doc_id"], {})
+            print(json.dumps({
+                "rank": row["rank"], "doc_id": row["doc_id"],
+                "score": round(row["score"], 6),
+                "repo": h.get("repo"), "path": h.get("path"),
+            }))
+        return 0
+
+    if args.cmd == "drop":
+        from librecatastro_ray.state.manifest import drop_index
+
+        existed = drop_index(args.index)
+        print(json.dumps({"dropped": existed}))
+        return 0
+
+    if args.cmd == "info":
+        from librecatastro_ray.state.manifest import load_manifest
+
+        m = load_manifest(args.index)
+        print(json.dumps({
+            "n_docs": m["n_docs"],
+            "avgdl": round(m["sum_dl"] / max(m["n_docs"], 1), 3),
+            "config": m["config"],
+            "n_partitions": len(m["partitions"]),
+            "n_postings": m["lineage"]["n_postings"],
+            "hot_terms": m["hot_terms"][:20],
+        }))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,10 +50,6 @@ class IndexConfig:
     # be 100KB+ per row, so keep batches modest.
     batch_size: int = 512
 
-    # Dedup bucketing (upsert-by-key semantics): number of hash buckets used
-    # for the keep-one-per-(repo,path) groupby.
-    dedup_buckets: int = 64
-
     def to_json(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
 

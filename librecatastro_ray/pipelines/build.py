@@ -5,8 +5,10 @@
       → bucketed groupby: upsert keep-one per key      (shuffle 1: doc_key)
       → sort(repo, path) + dense doc_id                (shuffle 2: the one
                                                         global sort)
-      → write docs/ (canonical doc store)
-      → map_batches DocStats → docstats/ + N, avgdl    (tokenize pass 1)
+      → map_batches AddDocLen → write docs/           (tokenize pass 1; the
+                                                        canonical doc store:
+                                                        forward index + sha256
+                                                        invariant + dl norms)
       → map_batches FlatPostings → salted partitioned
         spill shuffle/skey=*/                          (tokenize pass 2; the
                                                         all-to-all is a
@@ -35,9 +37,9 @@ import ray.data
 
 from librecatastro_ray.config import IndexConfig
 from librecatastro_ray.functions.tokenizer import term_frequencies_batch
-from librecatastro_ray.stages.doc_ids import assign_doc_ids, dedup_latest
+from librecatastro_ray.stages.doc_ids import dedup_and_assign_ids
 from librecatastro_ray.stages.merge import MergeActor
-from librecatastro_ray.stages.postings import DocStats, FlatPostings
+from librecatastro_ray.stages.postings import AddDocLen, FlatPostings
 from librecatastro_ray.state.manifest import (
     atomic_write_json,
     completed_partitions,
@@ -153,48 +155,34 @@ def build_index(
 
     os.makedirs(index_dir, exist_ok=True)
     docs_dir = os.path.join(index_dir, "docs")
-    docstats_dir = os.path.join(index_dir, "docstats")
     shuffle_dir = os.path.join(index_dir, "shuffle")
 
-    # ---- phase A: dedup + doc ids + canonical doc store -------------------
+    # ---- phase A: dedup + doc ids + dl → canonical doc store --------------
+    # one sort, one tokenize, one write: docs/ is forward index, row-invariant
+    # (sha256) table and BM25 norm (dl) table in a single columnar parquet
     mat_docs: ray.data.Dataset | None = None
     if _phase_done(docs_dir):
         report["phases_skipped"].append("docs")
+        stats = read_json(_marker(docs_dir))
     else:
         ds = _as_dataset(corpus)
-        ds = dedup_latest(ds, n_buckets=config.dedup_buckets)
-        mat_docs = assign_doc_ids(ds)
+        ds_ids, n_docs_a = dedup_and_assign_ids(ds)
+        ds_full = ds_ids.map_batches(
+            AddDocLen, batch_format="pyarrow", batch_size=config.batch_size, concurrency=(1, 8)
+        )
+        mat_docs = ds_full.materialize()
         import shutil
 
         if os.path.isdir(docs_dir):
             shutil.rmtree(docs_dir)
         mat_docs.write_parquet(docs_dir)
-        n_docs_a = mat_docs.count()
-        atomic_write_json(_marker(docs_dir), {"n_docs": int(n_docs_a)})
+        sum_dl = int(mat_docs.sum("dl") or 0)
+        stats = {"n_docs": int(n_docs_a), "sum_dl": sum_dl}
+        atomic_write_json(_marker(docs_dir), stats)
 
     if mat_docs is None:
-        mat_docs = ray.data.read_parquet(
-            docs_dir, columns=CORPUS_COLUMNS + ["sha256", "doc_id"]
-        )
+        mat_docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "content"])
 
-    # ---- phase B: doc stats + global stats (tokenize pass 1) --------------
-    if _phase_done(docstats_dir):
-        report["phases_skipped"].append("docstats")
-        stats = read_json(_marker(docstats_dir))
-    else:
-        import shutil
-
-        if os.path.isdir(docstats_dir):
-            shutil.rmtree(docstats_dir)
-        ds_stats = mat_docs.map_batches(
-            DocStats, batch_format="pyarrow", batch_size=config.batch_size, concurrency=(1, 8)
-        )
-        ds_stats.write_parquet(docstats_dir)
-        back = ray.data.read_parquet(docstats_dir, columns=["dl"])
-        n_docs = back.count()
-        sum_dl = int(back.sum("dl") or 0)
-        stats = {"n_docs": int(n_docs), "sum_dl": sum_dl}
-        atomic_write_json(_marker(docstats_dir), stats)
     n_docs = int(stats["n_docs"])
     sum_dl = int(stats["sum_dl"])
     avgdl = (float(sum_dl) / float(n_docs)) if n_docs else 1.0

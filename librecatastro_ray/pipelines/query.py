@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from librecatastro_ray.config import IndexConfig
 from librecatastro_ray.functions.bm25 import idf as idf_fn
 from librecatastro_ray.functions.bm25 import tf_norm, topk_indices
-from librecatastro_ray.functions.codec import delta_decode, varbyte_decode
+from librecatastro_ray.functions.codec import varbyte_decode
 from librecatastro_ray.functions.hashing import term_hash
 from librecatastro_ray.functions.tokenizer import tokenize
 from librecatastro_ray.stages.merge import blocks_file, dict_file
@@ -53,6 +53,24 @@ def _empty_result() -> pa.Table:
     )
 
 
+def decode_blocks_table(bt: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized decode of a set of posting blocks: one varbyte pass over the
+    concatenated buffers, then a segmented cumsum to rebuild absolute doc ids
+    (each block's deltas restart at an absolute first doc)."""
+    n = bt["n"].to_numpy().astype(np.int64)
+    if len(n) == 0 or int(n.sum()) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    gaps = varbyte_decode(b"".join(bt["docs"].to_pylist())).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    cs = np.cumsum(gaps)
+    seg_base = cs[starts] - gaps[starts]
+    docs = cs - np.repeat(seg_base, n)
+    tfs = varbyte_decode(b"".join(bt["tfs"].to_pylist())).astype(np.int64)
+    dls = varbyte_decode(b"".join(bt["dls"].to_pylist())).astype(np.int64)
+    return docs, tfs, dls
+
+
 class QueryEngine:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
@@ -64,6 +82,12 @@ class QueryEngine:
         self.hot: set[str] = set(self.manifest["hot_terms"])
         self._dict_cache: dict[tuple[int, int], pa.Table] = {}
         self._docstats: pads.Dataset | None = None
+        # per-term postings LRU (bounded by total cached postings)
+        from collections import OrderedDict
+
+        self._postings_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = OrderedDict()
+        self._postings_cache_size = 0
+        self._postings_cache_cap = 4_000_000  # postings entries (~100 MB)
 
     # ---------------- internals ----------------
 
@@ -108,24 +132,39 @@ class QueryEngine:
 
     def load_postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full decoded postings of a term, doc-sorted:
-        (doc_ids int64, tf int64, dl int64)."""
+        (doc_ids int64, tf int64, dl int64).  LRU-cached per term (a batch
+        query workload hits the same hot terms repeatedly)."""
+        cached = self._postings_cache.get(term)
+        if cached is not None:
+            self._postings_cache.move_to_end(term)
+            return cached
         docs_l, tfs_l, dls_l = [], [], []
         for salt in self._salts(term):
             bt = self._read_blocks(term, salt)
             if bt is None:
                 continue
-            for i in range(len(bt)):
-                docs_l.append(delta_decode(varbyte_decode(bt["docs"][i].as_py())))
-                tfs_l.append(varbyte_decode(bt["tfs"][i].as_py()).astype(np.int64))
-                dls_l.append(varbyte_decode(bt["dls"][i].as_py()).astype(np.int64))
+            d, f, L = decode_blocks_table(bt)
+            docs_l.append(d)
+            tfs_l.append(f)
+            dls_l.append(L)
         if not docs_l:
             z = np.zeros(0, dtype=np.int64)
-            return z, z.copy(), z.copy()
-        docs = np.concatenate(docs_l).astype(np.int64)
-        tfs = np.concatenate(tfs_l)
-        dls = np.concatenate(dls_l)
-        order = np.argsort(docs, kind="stable")
-        return docs[order], tfs[order], dls[order]
+            result = (z, z.copy(), z.copy())
+        else:
+            docs = np.concatenate(docs_l)
+            tfs = np.concatenate(tfs_l)
+            dls = np.concatenate(dls_l)
+            if len(docs_l) > 1:
+                # salted runs are disjoint doc subsets; one argsort merges them
+                order = np.argsort(docs, kind="stable")
+                docs, tfs, dls = docs[order], tfs[order], dls[order]
+            result = (docs, tfs, dls)
+        self._postings_cache[term] = result
+        self._postings_cache_size += len(result[0])
+        while self._postings_cache_size > self._postings_cache_cap and len(self._postings_cache) > 1:
+            _, old = self._postings_cache.popitem(last=False)
+            self._postings_cache_size -= len(old[0])
+        return result
 
     def _term_contribution(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, bm25 contribution) for one term — exact formula, shared
@@ -165,7 +204,7 @@ class QueryEngine:
     def _docstats_ds(self) -> pads.Dataset:
         if self._docstats is None:
             self._docstats = pads.dataset(
-                os.path.join(self.index_dir, "docstats"), format="parquet"
+                os.path.join(self.index_dir, "docs"), format="parquet"
             )
         return self._docstats
 
@@ -259,10 +298,12 @@ class QueryEngine:
             lo_idx = np.searchsorted(cand, prev, side="right")
             hi_idx = np.searchsorted(cand, last, side="right")
             wanted = np.nonzero(hi_idx > lo_idx)[0]
-            for i in wanted:
-                docs_l.append(delta_decode(varbyte_decode(bt["docs"][int(i)].as_py())))
-                tfs_l.append(varbyte_decode(bt["tfs"][int(i)].as_py()).astype(np.int64))
-                dls_l.append(varbyte_decode(bt["dls"][int(i)].as_py()).astype(np.int64))
+            if len(wanted) == 0:
+                continue
+            d, f, L = decode_blocks_table(bt.take(pa.array(wanted)))
+            docs_l.append(d)
+            tfs_l.append(f)
+            dls_l.append(L)
         if not docs_l:
             z = np.zeros(0, dtype=np.int64)
             return z, z.copy(), z.copy()
@@ -346,20 +387,20 @@ class QueryEngine:
                 path = blocks_file(self.index_dir, pkey, salt)
                 if not os.path.exists(path):
                     continue
-                bt = pq.read_table(path, columns=["term", "n", "docs", "tfs"])
-                for i in range(len(bt)):
-                    d = delta_decode(varbyte_decode(bt["docs"][i].as_py()))
-                    f = varbyte_decode(bt["tfs"][i].as_py()).astype(np.int64)
-                    terms_l.extend([bt["term"][i].as_py()] * len(d))
-                    docs_l.append(d.astype(np.int64))
-                    tfs_l.append(f)
+                bt = pq.read_table(path, columns=["term", "n", "docs", "tfs", "dls"])
+                d, f, _L = decode_blocks_table(bt)
+                n = bt["n"].to_numpy().astype(np.int64)
+                terms_np = bt["term"].to_numpy(zero_copy_only=False)
+                terms_l.append(np.repeat(terms_np, n))
+                docs_l.append(d)
+                tfs_l.append(f)
         if not docs_l:
             return pa.table({"term": pa.array([], pa.string()),
                              "doc_id": pa.array([], pa.int64()),
                              "tf": pa.array([], pa.int64())})
         return pa.table(
             {
-                "term": pa.array(terms_l, pa.string()),
+                "term": pa.array(np.concatenate(terms_l), pa.string()),
                 "doc_id": pa.array(np.concatenate(docs_l), pa.int64()),
                 "tf": pa.array(np.concatenate(tfs_l), pa.int64()),
             }
@@ -384,7 +425,10 @@ class QueryEngine:
         analogue of fetching _source for hits)."""
         ids = np.asarray(doc_ids, dtype=np.int64)
         ds = self._docstats_ds()
-        t = ds.to_table(filter=pads.field("doc_id").isin(ids.tolist()))
+        t = ds.to_table(
+            columns=["doc_id", "repo", "path", "commit", "lang", "sha256", "dl"],
+            filter=pads.field("doc_id").isin(ids.tolist()),
+        )
         order = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
         return t.take(order)
 

@@ -69,26 +69,13 @@ class FlatPostings:
         )
 
 
-class DocStats:
-    """map_batches: per-doc stats row (doc_id, repo, path, commit, lang,
-    sha256, dl) — the forward index + row-invariant table."""
+class AddDocLen:
+    """map_batches: append the token count ``dl`` — completes the canonical
+    doc store row (doc_id, repo, path, commit, lang, content, sha256, dl):
+    forward index + row-invariant + BM25 norm table in one parquet."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        _idx, _terms, dl = _tokenize_dl(batch["content"])
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "repo": batch["repo"],
-                "path": batch["path"],
-                "commit": batch["commit"],
-                "lang": batch["lang"],
-                "sha256": batch["sha256"],
-                "dl": pa.array(dl, pa.int64()),
-            }
-        )
+        from librecatastro_ray.functions.tokenizer import tokenize_batch
 
-
-def _tokenize_dl(arr):
-    from librecatastro_ray.functions.tokenizer import tokenize_batch
-
-    return tokenize_batch(arr)
+        _idx, _terms, dl = tokenize_batch(batch["content"])
+        return batch.append_column("dl", pa.array(dl, pa.int64()))

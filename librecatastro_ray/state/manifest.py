@@ -14,7 +14,7 @@ cadaster_entry.py:53; src/utils/elasticsearch_utils.py:100-136) — as:
 
 Layout of an index directory:
     manifest.json            global: config, N, avgdl, hot terms, partitions
-    docstats/*.parquet       doc_id, repo, path, commit, lang, sha256, dl
+    docs/*.parquet           doc_id, repo, path, commit, lang, content, sha256, dl
     shuffle/skey=*/          phase-1 partitioned flat postings (build scratch)
     parts/blocks-{p}-{s}.parquet   encoded posting blocks per (partition, salt)
     parts/dict-{p}-{s}.parquet     term dictionary per (partition, salt)

@@ -33,7 +33,8 @@ def test_build_artifacts_exist(built_index):
 
 def test_doc_ids_match_oracle(engine, oracle_small):
     """Dense ids from sorted (repo, path) — engine vs oracle."""
-    stats = pads.dataset(os.path.join(engine.index_dir, "docstats")).to_table()
+    stats = pads.dataset(os.path.join(engine.index_dir, "docs")).to_table(
+        columns=["doc_id", "repo", "path", "sha256"])
     stats = stats.sort_by("doc_id")
     assert stats["doc_id"].to_pylist() == list(range(oracle_small.n_docs))
     assert stats["repo"].to_pylist() == oracle_small.repos
@@ -48,7 +49,8 @@ def test_global_stats_match(engine, oracle_small):
 def test_dedup_upsert_semantics(engine, corpus_small):
     """Duplicate (repo, path) keys keep exactly one row — the max-sha winner
     (upsert by id, reference: cadaster_entry.py:53)."""
-    stats = pads.dataset(os.path.join(engine.index_dir, "docstats")).to_table()
+    stats = pads.dataset(os.path.join(engine.index_dir, "docs")).to_table(
+        columns=["doc_id", "repo", "path", "sha256"])
     keys = list(zip(stats["repo"].to_pylist(), stats["path"].to_pylist()))
     assert len(keys) == len(set(keys))
     # corpus has duplicates, so dedup actually removed rows
