@@ -129,11 +129,12 @@ def run_bench() -> dict:
     drop_index(index_dir)
     cfg = IndexConfig(num_partitions=16, num_salts=4, hot_df_ratio=0.02)
     t0 = time.monotonic()
-    build_index(corpus_dir, index_dir, cfg, resume=False)
+    build_out = build_index(corpus_dir, index_dir, cfg, resume=False)
     build_sec = time.monotonic() - t0
+    build_phases = build_out["report"].get("phase_seconds", {})
 
     # batch query evaluation through the actor pool
-    queries = make_query_set(200)
+    queries = make_query_set(1000)
     qds = ray.data.from_items(queries)
     pool = max(2, NUM_CPUS // 2)
     t0 = time.monotonic()
@@ -141,7 +142,7 @@ def run_bench() -> dict:
         SearchActor,
         fn_constructor_kwargs={"index_dir": index_dir},
         batch_format="pyarrow",
-        batch_size=8,
+        batch_size=32,
         concurrency=pool,
         num_cpus=1,
     ).count()
@@ -173,12 +174,18 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / build_sec, 1),
         "qps": round(len(queries) / query_sec, 1),
         "result_rows": out,
+        "build_phases": build_phases,
     }
 
 
 def run_scaling() -> dict:
+    # scaling pair runs a larger amplification so the 8-CPU side is
+    # compute-bound: efficiency measured on a corpus small enough to finish
+    # in fixed orchestration overhead would measure overhead, not scaling
+    amplify = os.environ.get("LCRAY_SCALING_AMPLIFY", "120")
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LCRAY_BENCH_AMPLIFY=amplify)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -12,12 +12,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a 1-D array of non-negative ints to varbyte bytes."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a 1-D array of non-negative ints; returns ``(bytes_u8, nbytes)``
+    where ``bytes_u8`` is the concatenated uint8 stream and ``nbytes[i]`` is
+    the encoded length of value i — the per-value lengths let a caller slice
+    the stream at arbitrary value boundaries without re-encoding (used by the
+    merge stage to cut per-term posting blocks out of one whole-partition
+    encode pass)."""
     v = np.asarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     # bytes needed per value
     nbytes = np.ones(n, dtype=np.int64)
     tmp = v >> np.uint64(7)
@@ -41,6 +46,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         cur[mask] >>= np.uint64(7)
         offset[mask] += 1
         remaining[mask] -= 1
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints to varbyte bytes."""
+    out, _ = varbyte_encode_with_lengths(values)
     return out.tobytes()
 
 

@@ -1,21 +1,24 @@
 """Index build pipeline (Ray-Data-first).
 
     read_parquet(corpus)
-      → map_batches: sha256 + dedup bucket            (stateless, Arrow)
-      → bucketed groupby: upsert keep-one per key      (shuffle 1: doc_key)
-      → sort(repo, path) + dense doc_id                (shuffle 2: the one
-                                                        global sort)
-      → map_batches AddDocLen → write docs/           (tokenize pass 1; the
-                                                        canonical doc store:
-                                                        forward index + sha256
-                                                        invariant + dl norms)
-      → map_batches FlatPostings → salted partitioned
+      → map_batches: sha256                            (stateless, Arrow)
+      → key-only sort (repo, path, sha256) + per-block
+        dedup + dense doc_id routed back to unmoved
+        content blocks                                 (shuffle 1: keys only —
+                                                        content bytes never
+                                                        enter the exchange)
+      → write docs/                                    (the canonical doc
+                                                        store: forward index +
+                                                        sha256 invariant + dl
+                                                        norms, completed in
+                                                        the pre-dedup pass)
+      → map_batches flat_postings → salted partitioned
         spill shuffle/skey=*/                          (tokenize pass 2; the
                                                         all-to-all is a
                                                         map-side scatter by
                                                         partition_cols write,
                                                         no sort network step)
-      → per-partition MergeActor pool → parts/ +
+      → per-partition merge_batch tasks → parts/ +
         checkpoints/                                   (stateful actors)
       → finalize manifest.json
 
@@ -28,6 +31,7 @@ reference: cadaster_entry.py:53, elasticsearch_utils.py:100-136).
 from __future__ import annotations
 
 import os
+import time
 from typing import Any
 
 import numpy as np
@@ -37,9 +41,9 @@ import ray.data
 
 from librecatastro_ray.config import IndexConfig
 from librecatastro_ray.functions.tokenizer import term_frequencies_batch
-from librecatastro_ray.stages.doc_ids import dedup_and_assign_ids
-from librecatastro_ray.stages.merge import MergeActor
-from librecatastro_ray.stages.postings import AddDocLen, FlatPostings
+from librecatastro_ray.stages.doc_ids import dedup_assign_write
+from librecatastro_ray.stages.merge import merge_batch
+from librecatastro_ray.stages.postings import flat_postings
 from librecatastro_ray.state.manifest import (
     atomic_write_json,
     completed_partitions,
@@ -60,52 +64,64 @@ def _phase_done(d: str) -> bool:
     return os.path.exists(_marker(d))
 
 
+TARGET_BLOCK_BYTES = 64 << 20  # ~64 MB of (compressed) parquet per block
+
+
 def _as_dataset(corpus: Any) -> ray.data.Dataset:
     if isinstance(corpus, str):
-        return ray.data.read_parquet(corpus, columns=CORPUS_COLUMNS)
+        # size-aware block count: Ray's default read split (min 200 blocks)
+        # fragments small corpora into KB-scale blocks, multiplying per-block
+        # task overhead and — worse — the partitioned shuffle-spill file count
+        # (map_blocks × skeys).  Target ~TARGET_BLOCK_BYTES per block with a
+        # floor of 2 tasks per CPU for parallelism.
+        total = 0
+        for root, _dirs, files in os.walk(corpus):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        n_blocks = max(2 * n_cpus, total // TARGET_BLOCK_BYTES or 1)
+        return ray.data.read_parquet(
+            corpus, columns=CORPUS_COLUMNS, override_num_blocks=int(n_blocks)
+        )
     if isinstance(corpus, pa.Table):
         return ray.data.from_arrow(corpus)
     return corpus
 
 
-class _SampleTermCounts:
+def _sample_term_counts(batch: pa.Table, *, mod: int) -> pa.Table:
     """Partial df over a deterministic doc sample (doc_id % mod == 0):
     per-batch (term, df_partial) tables, combined on the driver.  This is the
     partial-aggregate-before-groupby pattern — the full df never shuffles."""
-
-    def __init__(self, mod: int):
-        self.mod = mod
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = (batch["doc_id"].to_numpy() % self.mod) == 0
-        sub = batch.filter(pa.array(mask))
-        empty = pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "df": pa.array([], pa.int64()),
-                "sampled": pa.array([], pa.int64()),
-            }
-        )
-        if len(sub) == 0:
-            return empty
-        tf_table, _ = term_frequencies_batch(sub["content"])
-        g = tf_table.group_by("term", use_threads=False).aggregate([("row", "count")])
-        out = pa.table(
-            {
-                "term": g["term"],
-                "df": g["row_count"].cast(pa.int64()),
-                "sampled": pa.array(np.zeros(len(g), dtype=np.int64), pa.int64()),
-            }
-        )
-        # sentinel row carrying the per-batch sampled-doc count
-        sentinel = pa.table(
-            {
-                "term": pa.array(["\x00__sampled__"], pa.string()),
-                "df": pa.array([0], pa.int64()),
-                "sampled": pa.array([len(sub)], pa.int64()),
-            }
-        )
-        return pa.concat_tables([out, sentinel])
+    mask = (batch["doc_id"].to_numpy() % mod) == 0
+    sub = batch.filter(pa.array(mask))
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "sampled": pa.array([], pa.int64()),
+        }
+    )
+    if len(sub) == 0:
+        return empty
+    tf_table, _ = term_frequencies_batch(sub["content"])
+    g = tf_table.group_by("term", use_threads=False).aggregate([("row", "count")])
+    out = pa.table(
+        {
+            "term": g["term"],
+            "df": g["row_count"].cast(pa.int64()),
+            "sampled": pa.array(np.zeros(len(g), dtype=np.int64), pa.int64()),
+        }
+    )
+    # sentinel row carrying the per-batch sampled-doc count
+    sentinel = pa.table(
+        {
+            "term": pa.array(["\x00__sampled__"], pa.string()),
+            "df": pa.array([0], pa.int64()),
+            "sampled": pa.array([len(sub)], pa.int64()),
+        }
+    )
+    return pa.concat_tables([out, sentinel])
 
 
 def estimate_hot_terms(docs_ds: ray.data.Dataset, n_docs: int, config: IndexConfig) -> list[str]:
@@ -114,11 +130,10 @@ def estimate_hot_terms(docs_ds: ray.data.Dataset, n_docs: int, config: IndexConf
     terms only)."""
     mod = max(1, n_docs // max(1, config.hot_sample_target))
     parts = docs_ds.map_batches(
-        _SampleTermCounts,
-        fn_constructor_kwargs={"mod": mod},
+        _sample_term_counts,
+        fn_kwargs={"mod": mod},
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=(1, 8),
     ).to_pandas()
     if parts.empty:
         return []
@@ -143,7 +158,14 @@ def build_index(
     ``{"manifest": ..., "report": {...}}`` where the report carries
     per-phase skip/recompute counts (used by the resume tests)."""
     config = config or IndexConfig()
-    report: dict[str, Any] = {"phases_skipped": [], "partitions_merged": 0, "partitions_skipped": 0}
+    report: dict[str, Any] = {
+        "phases_skipped": [],
+        "partitions_merged": 0,
+        "partitions_skipped": 0,
+        "phase_seconds": {},
+    }
+    _t = time.monotonic
+    _t0 = _t()
 
     if resume and os.path.exists(manifest_path(index_dir)):
         report["phases_skipped"] = ["all"]
@@ -158,30 +180,25 @@ def build_index(
     shuffle_dir = os.path.join(index_dir, "shuffle")
 
     # ---- phase A: dedup + doc ids + dl → canonical doc store --------------
-    # one sort, one tokenize, one write: docs/ is forward index, row-invariant
-    # (sha256) table and BM25 norm (dl) table in a single columnar parquet
-    mat_docs: ray.data.Dataset | None = None
+    # one key-only sort, one tokenize, one fused write: docs/ is forward
+    # index, row-invariant (sha256) table and BM25 norm (dl) table in a
+    # single columnar parquet, written block-per-file by the id-apply tasks
     if _phase_done(docs_dir):
         report["phases_skipped"].append("docs")
         stats = read_json(_marker(docs_dir))
     else:
-        ds = _as_dataset(corpus)
-        ds_ids, n_docs_a = dedup_and_assign_ids(ds)
-        ds_full = ds_ids.map_batches(
-            AddDocLen, batch_format="pyarrow", batch_size=config.batch_size, concurrency=(1, 8)
-        )
-        mat_docs = ds_full.materialize()
         import shutil
 
         if os.path.isdir(docs_dir):
             shutil.rmtree(docs_dir)
-        mat_docs.write_parquet(docs_dir)
-        sum_dl = int(mat_docs.sum("dl") or 0)
-        stats = {"n_docs": int(n_docs_a), "sum_dl": sum_dl}
+        ds = _as_dataset(corpus)
+        n_docs_a, sum_dl_a = dedup_assign_write(ds, docs_dir)
+        stats = {"n_docs": int(n_docs_a), "sum_dl": int(sum_dl_a)}
         atomic_write_json(_marker(docs_dir), stats)
+    report["phase_seconds"]["docs"] = round(_t() - _t0, 3)
+    _t0 = _t()
 
-    if mat_docs is None:
-        mat_docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "content"])
+    mat_docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "content"])
 
     n_docs = int(stats["n_docs"])
     sum_dl = int(stats["sum_dl"])
@@ -199,15 +216,14 @@ def build_index(
             shutil.rmtree(shuffle_dir)
         hot_terms = estimate_hot_terms(mat_docs, n_docs, config)
         ds_postings = mat_docs.map_batches(
-            FlatPostings,
-            fn_constructor_kwargs={
+            flat_postings,
+            fn_kwargs={
                 "num_partitions": config.num_partitions,
                 "num_salts": config.num_salts,
                 "hot_terms": hot_terms,
             },
             batch_format="pyarrow",
             batch_size=config.batch_size,
-            concurrency=(1, 8),
         )
         ds_postings.write_parquet(shuffle_dir, partition_cols=["skey"])
         skeys_present = sorted(
@@ -218,6 +234,8 @@ def build_index(
         atomic_write_json(
             _marker(shuffle_dir), {"hot_terms": hot_terms, "skeys": skeys_present}
         )
+    report["phase_seconds"]["shuffle"] = round(_t() - _t0, 3)
+    _t0 = _t()
     shuffle_meta = read_json(_marker(shuffle_dir))
     skeys_present = shuffle_meta["skeys"]
 
@@ -227,20 +245,21 @@ def build_index(
     report["partitions_skipped"] = len(skeys_present) - len(pending)
     report["partitions_merged"] = len(pending)
     if pending:
-        work = ray.data.from_items([{"skey": int(s)} for s in pending])
-        n_actors = max(1, min(len(pending), int(ray.cluster_resources().get("CPU", 4)) - 1))
+        work = ray.data.from_items(
+            [{"skey": int(s)} for s in pending], override_num_blocks=len(pending)
+        )
         work.map_batches(
-            MergeActor,
-            fn_constructor_kwargs={
+            merge_batch,
+            fn_kwargs={
                 "index_dir": index_dir,
                 "avgdl": avgdl,
                 "config_json": config.to_json(),
             },
             batch_format="pyarrow",
             batch_size=1,
-            concurrency=n_actors,
             num_cpus=1,
         ).materialize()
+    report["phase_seconds"]["merge"] = round(_t() - _t0, 3)
     done = completed_partitions(index_dir)
     missing = [s for s in skeys_present if s not in done]
     if missing:

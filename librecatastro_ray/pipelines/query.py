@@ -53,6 +53,34 @@ def _empty_result() -> pa.Table:
     )
 
 
+# dense per-doc accumulators are used while the doc-id space fits comfortably
+# in a worker's heap (8M × 8B = 64 MB); beyond that the sparse unique/bincount
+# path takes over.  At corpus scale query serving is partition-routed, so the
+# relevant bound is docs-per-serving-partition, not global N.
+DENSE_ACC_LIMIT = 8 << 20
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted unique int64 arrays via searchsorted —
+    O(min·log max), no np.isin sort."""
+    if len(a) == 0 or len(b) == 0:
+        return a[:0]
+    if len(a) > len(b):
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = len(b) - 1
+    return a[b[idx] == a]
+
+
+def _in_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Boolean membership mask of ``values`` in a sorted unique array."""
+    if len(sorted_set) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_set, values)
+    idx[idx == len(sorted_set)] = len(sorted_set) - 1
+    return sorted_set[idx] == values
+
+
 def decode_blocks_table(bt: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized decode of a set of posting blocks: one varbyte pass over the
     concatenated buffers, then a segmented cumsum to rebuild absolute doc ids
@@ -87,7 +115,9 @@ class QueryEngine:
 
         self._postings_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = OrderedDict()
         self._postings_cache_size = 0
-        self._postings_cache_cap = 4_000_000  # postings entries (~100 MB)
+        self._postings_cache_cap = 8_000_000  # postings entries (~200 MB)
+        self._contrib_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+        self._contrib_cache_size = 0
 
     # ---------------- internals ----------------
 
@@ -168,14 +198,28 @@ class QueryEngine:
 
     def _term_contribution(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, bm25 contribution) for one term — exact formula, shared
-        with the oracle."""
+        with the oracle.  Contributions are query-independent, so they are
+        LRU-cached alongside the raw postings (batch workloads hit the same
+        hot terms repeatedly; recomputing tf_norm over a hot term's full
+        posting list per query would dominate match latency)."""
+        cached = self._contrib_cache.get(term)
+        if cached is not None:
+            self._contrib_cache.move_to_end(term)
+            return cached
         docs, tfs, dls = self.load_postings(term)
         if len(docs) == 0:
-            return docs, np.zeros(0, dtype=np.float64)
-        df = len(docs)
-        w = float(idf_fn(df, self.n_docs))
-        contrib = w * tf_norm(tfs, dls, self.avgdl, self.config.k1, self.config.b)
-        return docs, contrib
+            result = (docs, np.zeros(0, dtype=np.float64))
+        else:
+            df = len(docs)
+            w = float(idf_fn(df, self.n_docs))
+            contrib = w * tf_norm(tfs, dls, self.avgdl, self.config.k1, self.config.b)
+            result = (docs, contrib)
+        self._contrib_cache[term] = result
+        self._contrib_cache_size += len(result[0])
+        while self._contrib_cache_size > self._postings_cache_cap and len(self._contrib_cache) > 1:
+            _, old = self._contrib_cache.popitem(last=False)
+            self._contrib_cache_size -= len(old[0])
+        return result
 
     @staticmethod
     def _accumulate(doc_arrays: list[np.ndarray], score_arrays: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
@@ -187,8 +231,9 @@ class QueryEngine:
         all_docs = np.concatenate(doc_arrays)
         all_scores = np.concatenate(score_arrays)
         uniq, inv = np.unique(all_docs, return_inverse=True)
-        sums = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(sums, inv, all_scores)
+        # bincount sums contributions in array order (= term order per doc),
+        # matching the oracle's accumulation order
+        sums = np.bincount(inv, weights=all_scores, minlength=len(uniq))
         return uniq, sums
 
     def _topk_table(self, docs: np.ndarray, scores: np.ndarray, k: int) -> pa.Table:
@@ -212,8 +257,23 @@ class QueryEngine:
 
     def match(self, text: str, k: int = 10) -> pa.Table:
         """Q1+Q4: analyzed BM25 match, top-k (rank, doc_id, score)."""
+        terms = tokenize(text)
+        if self.n_docs <= DENSE_ACC_LIMIT:
+            # dense scatter-add: O(total postings), no sort; per-doc additions
+            # still happen in term order (the oracle's accumulation order)
+            acc = np.zeros(self.n_docs, dtype=np.float64)
+            any_hit = False
+            for term in terms:
+                d, s = self._term_contribution(term)
+                if len(d):
+                    acc[d] += s
+                    any_hit = True
+            if not any_hit:
+                return _empty_result()
+            docs = np.nonzero(acc)[0].astype(np.int64)
+            return self._topk_table(docs, acc[docs], k)
         doc_arrays, score_arrays = [], []
-        for term in tokenize(text):
+        for term in terms:
             d, s = self._term_contribution(term)
             if len(d):
                 doc_arrays.append(d)
@@ -235,49 +295,85 @@ class QueryEngine:
         if not content_terms and not keyword_eq and not keyword_prefix:
             return _empty_result()
 
-        candidate: np.ndarray | None = None
+        dense = self.n_docs <= DENSE_ACC_LIMIT
+        candidate: np.ndarray | None = None  # sorted unique ids (sparse path)
+        cand_flags: np.ndarray | None = None  # bool[n_docs] (dense path)
+        n_cand = -1
+
+        def shrink(docs: np.ndarray) -> int:
+            """Intersect the running candidate set with ``docs``; returns the
+            new candidate count."""
+            nonlocal candidate, cand_flags, n_cand
+            if dense:
+                f = np.zeros(self.n_docs, dtype=bool)
+                f[docs] = True
+                cand_flags = f if cand_flags is None else (cand_flags & f)
+                n_cand = int(np.count_nonzero(cand_flags))
+            else:
+                candidate = docs if candidate is None else _intersect_sorted(candidate, docs)
+                n_cand = len(candidate)
+            return n_cand
+
+        def cand_array() -> np.ndarray:
+            if dense:
+                return np.nonzero(cand_flags)[0].astype(np.int64)
+            return candidate
+
         doc_arrays, score_arrays = [], []
         # evaluate content terms rarest-first for candidate shrinking, but
         # ACCUMULATE in clause order for float-sum identity with the oracle
-        infos = []
-        for term in content_terms:
-            df = self.term_df(term)
-            infos.append((term, df))
+        infos = [(term, self.term_df(term)) for term in content_terms]
         for term, df in sorted(infos, key=lambda x: x[1]):
             if df == 0:
                 return _empty_result()
-            if candidate is None or df <= self.config.block_size:
-                docs, tfs, dls = self.load_postings(term)
-            else:
-                docs, tfs, dls = self._load_postings_skipping(term, candidate)
-            candidate = docs if candidate is None else candidate[np.isin(candidate, docs)]
-            if len(candidate) == 0:
+            docs, tfs, dls = self._postings_for_candidates(term, df, cand_array, n_cand)
+            if shrink(docs) == 0:
                 return _empty_result()
         # now score in clause order over the final candidate set
-        for term in content_terms:
-            docs, tfs, dls = self._load_postings_skipping(term, candidate)
-            mask = np.isin(docs, candidate)
-            d = docs[mask]
-            df = self.term_df(term)
+        for term, df in infos:
+            docs, tfs, dls = self._postings_for_candidates(term, df, cand_array, n_cand)
+            mask = cand_flags[docs] if dense else _in_sorted(docs, cand_array())
             w = float(idf_fn(df, self.n_docs))
             contrib = w * tf_norm(tfs[mask], dls[mask], self.avgdl, self.config.k1, self.config.b)
-            doc_arrays.append(d)
+            doc_arrays.append(docs[mask])
             score_arrays.append(contrib)
-        for field_name, value in keyword_eq or []:
-            d = self.keyword_docs(field_name, value, prefix=False)
-            candidate = d if candidate is None else candidate[np.isin(candidate, d)]
-            doc_arrays.append(d)
-            score_arrays.append(np.ones(len(d), dtype=np.float64))
-        for field_name, value in keyword_prefix or []:
-            d = self.keyword_docs(field_name, value, prefix=True)
-            candidate = d if candidate is None else candidate[np.isin(candidate, d)]
-            doc_arrays.append(d)
-            score_arrays.append(np.ones(len(d), dtype=np.float64))
-        if candidate is None or len(candidate) == 0:
+        for prefix_flag, clauses in ((False, keyword_eq), (True, keyword_prefix)):
+            for field_name, value in clauses or []:
+                d = self.keyword_docs(field_name, value, prefix=prefix_flag)
+                if shrink(d) == 0:
+                    return _empty_result()
+                doc_arrays.append(d)
+                score_arrays.append(np.ones(len(d), dtype=np.float64))
+        if n_cand <= 0:
             return _empty_result()
+        final = cand_array()
+        if dense:
+            # the candidate set IS the final doc set — dense scatter-add in
+            # clause order, then one gather; no sort/unique round
+            acc = np.zeros(self.n_docs, dtype=np.float64)
+            for d, s in zip(doc_arrays, score_arrays):
+                acc[d] += s
+            return self._topk_table(final, acc[final], k)
         docs, scores = self._accumulate(doc_arrays, score_arrays)
-        keep = np.isin(docs, candidate)
+        keep = _in_sorted(docs, final)
         return self._topk_table(docs[keep], scores[keep], k)
+
+    def _postings_for_candidates(
+        self, term: str, df: int, cand_provider, n_cand: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Choose full (LRU-cached) vs block-skipping decode: skipping reads
+        parquet every call, so it only wins when the candidate set is much
+        smaller than the posting list AND the term isn't already cached.
+        ``cand_provider`` is a zero-arg callable yielding the sorted candidate
+        ids (only materialized when skipping is chosen)."""
+        if (
+            n_cand < 0
+            or term in self._postings_cache
+            or df <= self.config.block_size
+            or n_cand * 16 >= df
+        ):
+            return self.load_postings(term)
+        return self._load_postings_skipping(term, cand_provider())
 
     def _load_postings_skipping(
         self, term: str, candidate: np.ndarray
@@ -317,15 +413,27 @@ class QueryEngine:
         """Q2 on the analyzed field: term-dictionary range scan → OR of
         postings, constant score 1.0."""
         terms = self.expand_prefix(prefix)
-        doc_sets = []
-        for term in terms:
-            d, _, _ = self.load_postings(term)
-            if len(d):
-                doc_sets.append(d)
-        if not doc_sets:
+        docs = self._union_docs(terms)
+        if docs is None:
             return _empty_result()
-        docs = np.unique(np.concatenate(doc_sets))
         return self._topk_table(docs, np.ones(len(docs), dtype=np.float64), k)
+
+    def _union_docs(self, terms: list[str]) -> np.ndarray | None:
+        """Sorted unique union of the terms' doc ids (dense-flag path when the
+        id space fits; sparse unique otherwise)."""
+        if self.n_docs <= DENSE_ACC_LIMIT:
+            flags = np.zeros(self.n_docs, dtype=bool)
+            hit = False
+            for term in terms:
+                d, _, _ = self.load_postings(term)
+                if len(d):
+                    flags[d] = True
+                    hit = True
+            return np.nonzero(flags)[0].astype(np.int64) if hit else None
+        doc_sets = [d for term in terms for d, _, _ in [self.load_postings(term)] if len(d)]
+        if not doc_sets:
+            return None
+        return np.unique(np.concatenate(doc_sets))
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """All dictionary terms with the given prefix (scans every partition's
@@ -343,14 +451,8 @@ class QueryEngine:
 
     def count(self, text: str) -> int:
         """Q5: exact hits.total of a match query."""
-        doc_sets = []
-        for term in tokenize(text):
-            d, _, _ = self.load_postings(term)
-            if len(d):
-                doc_sets.append(d)
-        if not doc_sets:
-            return 0
-        return int(len(np.unique(np.concatenate(doc_sets))))
+        docs = self._union_docs(tokenize(text))
+        return 0 if docs is None else int(len(docs))
 
     def exists(self, text: str) -> bool:
         """The reference's from_elasticsearch existence probe

@@ -1,4 +1,4 @@
-"""Upsert-by-key dedup + deterministic dense doc-id assignment — one shuffle.
+"""Upsert-by-key dedup + deterministic dense doc-id assignment — key-only sort.
 
 Dedup reproduces the reference's upsert-by-primary-key semantics ("last writer
 wins" per doc, reference: src/librecatastro/domain/cadaster_entry/
@@ -7,36 +7,86 @@ corpus has no arrival order, so the winner per (repo, path) key is pinned to a
 deterministic total order: the row with the lexicographically greatest
 sha256(content).
 
-Both dedup and id assignment ride ONE global sort on (repo, path, sha256) —
-after the sort, duplicate keys are adjacent, so dedup is a per-block
-keep-last-of-run filter (with the next block's first key resolving runs that
-span a block boundary).  Ids are dense int64 in sorted (repo, path) order
-(SURVEY.md §2.F F2: the reference's deterministic alphabetical iteration) and
-depend only on the data, never on parallelism: the driver handles only
-per-block metadata (first keys + kept counts); blocks are filtered and
-id-stamped by per-block Ray tasks.
+Ids are dense int64 in sorted (repo, path) order (SURVEY.md §2.F F2: the
+reference's deterministic alphabetical iteration) and depend only on the data,
+never on parallelism.
+
+Scale design — the corpus payload (``content``, ~KBs..100KB per row) never
+enters a shuffle.  A naive ``ds.sort(keys)`` would move every content byte
+through the all-to-all exchange twice (map spill + reduce fetch); at corpus
+scale that is the whole dataset through the object store for what is logically
+a metadata operation.  Instead:
+
+  1. ``AddSha`` (stateless task map) appends sha256; blocks are materialized
+     once and stay where they are.
+  2. A per-block task projects the tiny key table
+     ``(bid, row, repo, path, sha256)`` (~100 B/row).
+  3. Only the key tables are globally sorted (Ray Data sort — the engine's
+     one global sort, ~0.1% of corpus bytes).
+  4. Per sorted key block: keep-last-of-(repo,path)-run dedup (the next
+     block's first key resolves runs spanning a block boundary); dense doc_id
+     = per-block cumulative offsets (driver handles only per-block metadata).
+  5. Winner ``(bid, row, doc_id)`` triples are sorted by ``bid`` (again a tiny
+     shuffle) and routed back to their content block; the apply task takes the
+     big block ref as its first argument, so Ray's locality-aware scheduling
+     runs it on the node already holding the block — content crosses the
+     network zero times in the common case.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 
 from librecatastro_ray.functions.hashing import sha256_batch
 
 
-class AddSha:
-    """map_batches: append sha256(content) (the row-invariant column)."""
+def add_sha(batch: pa.Table) -> pa.Table:
+    """map_batches (stateless task): append sha256(content), the row-invariant
+    column (BASELINE.json input_hint: per-row content sha256 equality)."""
+    return batch.append_column("sha256", sha256_batch(batch["content"]))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return batch.append_column("sha256", sha256_batch(batch["content"]))
+
+def add_sha_dl(batch: pa.Table) -> pa.Table:
+    """map_batches (stateless task): append sha256(content) and the token
+    count ``dl`` in ONE pass over the corpus — the doc-store row is complete
+    before dedup, so no second full-content pipeline pass is needed after id
+    assignment.  (Dup losers get tokenized too; dups are rare, one avoided
+    full-corpus pass is not.)"""
+    from librecatastro_ray.functions.tokenizer import tokenize_batch
+
+    _idx, _terms, dl = tokenize_batch(batch["content"])
+    return batch.append_column("sha256", sha256_batch(batch["content"])).append_column(
+        "dl", pa.array(dl, pa.int64())
+    )
 
 
 @ray.remote
-def _block_first_key(block: pa.Table) -> tuple[str, str, str, int]:
+def _extract_keys(block: pa.Table, bid: int) -> pa.Table:
+    """Project the sort/dedup key columns plus the block/row address."""
+    n = len(block)
+    return pa.table(
+        {
+            "bid": pa.array(np.full(n, bid, dtype=np.int32), pa.int32()),
+            "row": pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+            "repo": block["repo"],
+            "path": block["path"],
+            "sha256": block["sha256"],
+        }
+    )
+
+
+@ray.remote
+def _concat_tables(*tables: pa.Table) -> pa.Table:
+    return pa.concat_tables(tables).combine_chunks()
+
+
+@ray.remote
+def _key_block_meta(block: pa.Table) -> tuple[str, str, str, int]:
     if len(block) == 0:
         return ("", "", "", 0)
     return (
@@ -48,10 +98,10 @@ def _block_first_key(block: pa.Table) -> tuple[str, str, str, int]:
 
 
 @ray.remote(num_returns=2)
-def _dedup_block(block: pa.Table, next_key: tuple[str, str] | None):
+def _dedup_keys(block: pa.Table, next_key: tuple[str, str] | None):
     """Keep the last row of each (repo, path) run (sha asc → last = max sha).
     The run that reaches the end of the block also loses its last row when the
-    NEXT block starts with the same key."""
+    NEXT block starts with the same key.  Returns (winner key table, count)."""
     n = len(block)
     if n == 0:
         return block, 0
@@ -67,43 +117,167 @@ def _dedup_block(block: pa.Table, next_key: tuple[str, str] | None):
 
 
 @ray.remote
-def _attach_ids(block: pa.Table, offset: int) -> pa.Table:
-    ids = pa.array(np.arange(offset, offset + len(block), dtype=np.int64), pa.int64())
-    return block.append_column("doc_id", ids)
+def _stamp_split(winners: pa.Table, offset: int, n_groups: int, span: int) -> tuple:
+    """Winners arrive in global (repo, path) order; dense ids are the global
+    positions.  Emits the routing triples (bid, row, doc_id) pre-split into
+    ``n_groups`` bid-range groups (group g owns bids [g*span, (g+1)*span)) —
+    a direct scatter that replaces a second Ray Data sort round with one
+    task round."""
+    ids = pa.array(np.arange(offset, offset + len(winners), dtype=np.int64), pa.int64())
+    t = pa.table({"bid": winners["bid"], "row": winners["row"], "doc_id": ids})
+    if n_groups == 1:
+        # num_returns=1 → the whole return value is ONE object, no unpacking
+        return t
+    grp = t["bid"].to_numpy() // span
+    return tuple(t.filter(pa.array(grp == g)) for g in range(n_groups))
 
 
-def dedup_and_assign_ids(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, int]:
-    """sha256 → one global sort (repo, path, sha256) → per-block dedup +
-    dense doc_id.  Returns ``(dataset, n_docs)``; the dataset has sha256 and
-    doc_id columns and at most one row per (repo, path)."""
-    ds = ds.map_batches(AddSha, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
-    ds = ds.sort(["repo", "path", "sha256"])
-    mat = ds.materialize()
-    block_refs: list = []
+def _select_winners(block: pa.Table, bid: int, winner_groups) -> pa.Table | None:
+    parts = []
+    for wb in winner_groups:
+        mask = wb["bid"].to_numpy() == bid
+        if mask.any():
+            parts.append(wb.filter(pa.array(mask)))
+    return pa.concat_tables(parts) if parts else None
+
+
+def _stamped_block(block: pa.Table, bid: int, winner_groups) -> pa.Table:
+    w = _select_winners(block, bid, winner_groups)
+    if w is None:
+        return block.slice(0, 0).append_column("doc_id", pa.array([], pa.int64()))
+    rows = w["row"].to_numpy().astype(np.int64)
+    ids = w["doc_id"].to_numpy()
+    order = np.argsort(rows, kind="stable")
+    out = block.take(pa.array(rows[order]))
+    return out.append_column("doc_id", pa.array(ids[order], pa.int64()))
+
+
+@ray.remote
+def _apply_ids(block: pa.Table, bid: int, *winner_groups: pa.Table) -> pa.Table:
+    """Filter a content block to its dedup winners and append doc_id.  The
+    block is the first (largest) argument so Ray schedules this task on the
+    node that owns it — winners are the only bytes that travel."""
+    return _stamped_block(block, bid, winner_groups)
+
+
+@ray.remote(num_returns=2)
+def _apply_ids_write(
+    block: pa.Table, bid: int, docs_dir: str, compression: str, *winner_groups: pa.Table
+):
+    """Like _apply_ids, but writes the finished doc-store block straight to
+    ``docs_dir/part-{bid}.parquet`` (atomic tmp+rename) instead of returning
+    it — the corpus payload goes object store → disk without a second
+    materialized copy.  Returns (n_rows, sum_dl)."""
+    import pyarrow.parquet as pq
+
+    out = _stamped_block(block, bid, winner_groups)
+    if len(out) == 0:
+        return 0, 0
+    path = os.path.join(docs_dir, f"part-{bid:06d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp, compression="zstd" if compression == "zstd" else compression)
+    os.replace(tmp, path)
+    return len(out), int(np.asarray(out["dl"]).sum())
+
+
+def _bundle_refs(mat: ray.data.Dataset) -> list:
+    refs: list = []
     for bundle in mat.iter_internal_ref_bundles():
-        block_refs.extend(bundle.block_refs)
-    if not block_refs:
-        return mat, 0
-    keys = ray.get([_block_first_key.remote(r) for r in block_refs])
+        refs.extend(bundle.block_refs)
+    return refs
+
+
+def _winner_splits(block_refs: list) -> tuple[list[list], int, int]:
+    """Key extraction → key-only global sort → per-block dedup → id stamping,
+    returning ``(groups, span, n_docs)`` where ``groups[g]`` is the list of
+    winner-triple refs for bid range [g*span, (g+1)*span)."""
+    # keys only through the shuffle; pre-coalesce the tiny key blocks so the
+    # sort's all-to-all runs over ~sqrt-fewer partitions (each extra block
+    # costs map×reduce object transfers, while key bytes are negligible)
+    key_refs = [_extract_keys.remote(r, bid) for bid, r in enumerate(block_refs)]
+    n_sort_parts = max(4, min(64, (len(key_refs) + 7) // 8))
+    if len(key_refs) > n_sort_parts:
+        chunk = (len(key_refs) + n_sort_parts - 1) // n_sort_parts
+        key_refs = [
+            _concat_tables.remote(*key_refs[i : i + chunk])
+            for i in range(0, len(key_refs), chunk)
+        ]
+    keys_sorted = ray.data.from_arrow_refs(key_refs).sort(["repo", "path", "sha256"]).materialize()
+    skey_refs = _bundle_refs(keys_sorted)
+    meta = ray.get([_key_block_meta.remote(r) for r in skey_refs])
     # order blocks by first (repo, path, sha) — sort output blocks are key
     # ranges, so this reconstructs the global order from metadata alone
-    order = [i for i in sorted(range(len(block_refs)), key=lambda i: keys[i][:3]) if keys[i][3] > 0]
-    # next non-empty block's first (repo, path) resolves runs spanning blocks
+    order = [i for i in sorted(range(len(skey_refs)), key=lambda i: meta[i][:3]) if meta[i][3] > 0]
     next_keys: list[tuple[str, str] | None] = []
     for j, i in enumerate(order):
         nk = None
         if j + 1 < len(order):
-            k = keys[order[j + 1]]
+            k = meta[order[j + 1]]
             nk = (k[0], k[1])
         next_keys.append(nk)
-    deduped, count_refs = [], []
+    winner_refs, count_refs = [], []
     for i, nk in zip(order, next_keys):
-        t_ref, c_ref = _dedup_block.remote(block_refs[i], nk)
-        deduped.append(t_ref)
+        w_ref, c_ref = _dedup_keys.remote(skey_refs[i], nk)
+        winner_refs.append(w_ref)
         count_refs.append(c_ref)
     counts = ray.get(count_refs)
+    n_docs = int(sum(counts))
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    new_refs = [
-        _attach_ids.remote(t, int(off)) for t, off in zip(deduped, offsets)
+
+    # scatter (bid, row, doc_id) straight into bid-range groups — one task
+    # round instead of a second Ray Data sort
+    n_blocks = len(block_refs)
+    G = max(1, min(32, n_blocks))
+    span = (n_blocks + G - 1) // G
+    groups: list[list] = [[] for _ in range(G)]
+    for w, off in zip(winner_refs, offsets):
+        parts = _stamp_split.options(num_returns=G).remote(w, int(off), G, span)
+        if G == 1:
+            parts = [parts]
+        for g, ref in enumerate(parts):
+            groups[g].append(ref)
+    return groups, span, n_docs
+
+
+def dedup_and_assign_ids(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, int]:
+    """sha256 + dl → key-only global sort (repo, path, sha256) → per-block
+    dedup + dense doc_id routed back to unmoved content blocks.  Returns
+    ``(dataset, n_docs)``; the dataset has sha256, dl and doc_id columns and
+    at most one row per (repo, path)."""
+    ds = ds.map_batches(add_sha_dl, batch_format="pyarrow", batch_size=512)
+    mat = ds.materialize()
+    block_refs = _bundle_refs(mat)
+    if not block_refs:
+        return mat, 0
+    groups, span, n_docs = _winner_splits(block_refs)
+    out_refs = [
+        _apply_ids.remote(block, bid, *groups[bid // span])
+        for bid, block in enumerate(block_refs)
     ]
-    return ray.data.from_arrow_refs(new_refs), int(sum(counts))
+    return ray.data.from_arrow_refs(out_refs), n_docs
+
+
+def dedup_assign_write(
+    ds: ray.data.Dataset, docs_dir: str, compression: str = "zstd"
+) -> tuple[int, int]:
+    """Fused variant for the build pipeline: dedup + id assignment with the
+    finished doc-store blocks written straight to ``docs_dir`` (one parquet
+    file per content block, atomic rename) — the corpus payload crosses the
+    object store exactly once and is never re-materialized.  Returns
+    ``(n_docs, sum_dl)``."""
+    os.makedirs(docs_dir, exist_ok=True)
+    ds = ds.map_batches(add_sha_dl, batch_format="pyarrow", batch_size=512)
+    mat = ds.materialize()
+    block_refs = _bundle_refs(mat)
+    if not block_refs:
+        return 0, 0
+    groups, span, n_docs = _winner_splits(block_refs)
+    count_refs, dl_refs = [], []
+    for bid, block in enumerate(block_refs):
+        c, d = _apply_ids_write.remote(block, bid, docs_dir, compression, *groups[bid // span])
+        count_refs.append(c)
+        dl_refs.append(d)
+    counts = ray.get(count_refs)
+    dl_sums = ray.get(dl_refs)
+    assert sum(counts) == n_docs, f"doc-store rows {sum(counts)} != winners {n_docs}"
+    return n_docs, int(sum(dl_sums))

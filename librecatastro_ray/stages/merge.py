@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from librecatastro_ray.config import IndexConfig
 from librecatastro_ray.functions.bm25 import tf_norm
-from librecatastro_ray.functions.codec import delta_encode, varbyte_encode
+from librecatastro_ray.functions.codec import varbyte_encode_with_lengths
 from librecatastro_ray.functions.hashing import sha256_hex
 from librecatastro_ray.state.manifest import atomic_write_json, checkpoint_path
 
@@ -74,6 +74,12 @@ def merge_partition(
     partitioned spill), returns the checkpoint entry it wrote.
     """
     t0 = time.monotonic()
+    # this task IS the unit of parallelism (num_cpus=1); Arrow's default
+    # machine-wide thread pools would oversubscribe the node 32× when many
+    # merge tasks run concurrently
+    if pa.cpu_count() > 2:
+        pa.set_cpu_count(2)
+        pa.set_io_thread_count(4)
     S = config.num_salts
     pkey, salt = divmod(skey, S)
     part_dir = os.path.join(index_dir, "shuffle", f"skey={skey}")
@@ -100,66 +106,82 @@ def merge_partition(
     doc_ids = t["doc_id"].to_numpy()
     tfs = t["tf"].to_numpy()
     dls = t["dl"].to_numpy()
-
+    N = len(terms)
     B = config.block_size
-    out_terms: list[str] = []
-    out_block_no: list[int] = []
-    out_n: list[int] = []
-    out_last: list[int] = []
-    out_max: list[float] = []
-    out_docs: list[bytes] = []
-    out_tfs: list[bytes] = []
-    out_dls: list[bytes] = []
-    dict_terms: list[str] = []
-    dict_df: list[int] = []
-    dict_cf: list[int] = []
 
-    if len(terms):
-        # term run boundaries
-        change = np.ones(len(terms), dtype=bool)
+    if N:
+        # term runs — all boundary math is vectorized over the partition;
+        # no per-term or per-block Python loop
+        change = np.ones(N, dtype=bool)
         change[1:] = terms[1:] != terms[:-1]
-        starts = np.nonzero(change)[0]
-        ends = np.append(starts[1:], len(terms))
-        for s, e in zip(starts, ends):
-            term = terms[s]
-            d = doc_ids[s:e]
-            f = tfs[s:e]
-            L = dls[s:e]
-            tn = tf_norm(f, L, avgdl, config.k1, config.b)
-            dict_terms.append(term)
-            dict_df.append(int(e - s))
-            dict_cf.append(int(f.sum()))
-            n_blocks = (len(d) + B - 1) // B
-            for bno in range(n_blocks):
-                lo, hi = bno * B, min((bno + 1) * B, len(d))
-                out_terms.append(term)
-                out_block_no.append(bno)
-                out_n.append(hi - lo)
-                out_last.append(int(d[hi - 1]))
-                out_max.append(float(tn[lo:hi].max()))
-                out_docs.append(varbyte_encode(delta_encode(d[lo:hi])))
-                out_tfs.append(varbyte_encode(f[lo:hi]))
-                out_dls.append(varbyte_encode(L[lo:hi]))
+        run_starts = np.nonzero(change)[0]
+        run_lens = np.diff(np.append(run_starts, N))
+        run_id = np.cumsum(change) - 1
+        dict_terms = terms[run_starts]
+        dict_df = run_lens.astype(np.int64)
+        dict_cf = np.add.reduceat(tfs, run_starts).astype(np.int64)
 
-    blocks = pa.table(
-        {
-            "term": pa.array(out_terms, pa.string()),
-            "block_no": pa.array(out_block_no, pa.int32()),
-            "n": pa.array(out_n, pa.int32()),
-            "last_doc": pa.array(out_last, pa.int64()),
-            "max_tfnorm": pa.array(out_max, pa.float64()),
-            "docs": pa.array(out_docs, pa.binary()),
-            "tfs": pa.array(out_tfs, pa.binary()),
-            "dls": pa.array(out_dls, pa.binary()),
-        }
-    )
-    dict_t = pa.table(
-        {
-            "term": pa.array(dict_terms, pa.string()),
-            "df": pa.array(dict_df, pa.int64()),
-            "cf": pa.array(dict_cf, pa.int64()),
-        }
-    )
+        # posting blocks: every B-th position within a run starts a block
+        pos_in_run = np.arange(N, dtype=np.int64) - run_starts[run_id]
+        is_block_start = change | (pos_in_run % B == 0)
+        block_starts = np.nonzero(is_block_start)[0]
+        block_ends = np.append(block_starts[1:], N)
+        n_per_block = (block_ends - block_starts).astype(np.int32)
+        block_term = terms[block_starts]
+        block_no = (pos_in_run[block_starts] // B).astype(np.int32)
+        last_doc = doc_ids[block_ends - 1].astype(np.int64)
+        tn = tf_norm(tfs, dls, avgdl, config.k1, config.b)
+        max_tfnorm = np.maximum.reduceat(tn, block_starts)
+
+        # delta within a block, absolute first value at each block start
+        gaps = np.empty(N, dtype=np.int64)
+        gaps[0] = doc_ids[0]
+        gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+        gaps[block_starts] = doc_ids[block_starts]
+
+        # one whole-partition varbyte pass per stream; per-block binary cells
+        # are cut from the stream by offset arithmetic (zero-copy Arrow
+        # BinaryArray from (offsets, data) buffers)
+        def encode_stream(values: np.ndarray) -> pa.Array:
+            data, nbytes = varbyte_encode_with_lengths(values)
+            cum = np.concatenate([[0], np.cumsum(nbytes)])
+            offs = cum[np.append(block_starts, N)]
+            if offs[-1] >= 2**31:
+                raise ValueError(
+                    "partition posting stream exceeds 2 GiB — raise num_partitions"
+                )
+            return pa.BinaryArray.from_buffers(
+                pa.binary(),
+                len(block_starts),
+                [None, pa.py_buffer(offs.astype(np.int32).tobytes()), pa.py_buffer(data.tobytes())],
+            )
+
+        blocks = pa.table(
+            {
+                "term": pa.array(block_term, pa.string()),
+                "block_no": pa.array(block_no, pa.int32()),
+                "n": pa.array(n_per_block, pa.int32()),
+                "last_doc": pa.array(last_doc, pa.int64()),
+                "max_tfnorm": pa.array(max_tfnorm, pa.float64()),
+                "docs": encode_stream(gaps),
+                "tfs": encode_stream(tfs),
+                "dls": encode_stream(dls),
+            }
+        )
+        dict_t = pa.table(
+            {
+                "term": pa.array(dict_terms, pa.string()),
+                "df": pa.array(dict_df, pa.int64()),
+                "cf": pa.array(dict_cf, pa.int64()),
+            }
+        )
+        n_dict_terms = len(dict_terms)
+        n_block_rows = len(block_starts)
+    else:
+        blocks = BLOCKS_SCHEMA.empty_table()
+        dict_t = DICT_SCHEMA.empty_table()
+        n_dict_terms = 0
+        n_block_rows = 0
 
     bpath = blocks_file(index_dir, pkey, salt)
     dpath = dict_file(index_dir, pkey, salt)
@@ -176,12 +198,12 @@ def merge_partition(
         "lineage": {
             "input_dir": f"shuffle/skey={skey}",
             "input_files": lineage_files,
-            "input_rows": int(len(terms)),
+            "input_rows": int(N),
         },
         "metrics": {
-            "n_postings": int(len(terms)),
-            "n_terms": int(len(dict_terms)),
-            "n_blocks": int(len(out_terms)),
+            "n_postings": int(N),
+            "n_terms": int(n_dict_terms),
+            "n_blocks": int(n_block_rows),
             "bytes": int(nbytes),
             "duration_s": round(time.monotonic() - t0, 4),
         },
@@ -195,22 +217,18 @@ def merge_partition(
     return entry
 
 
-class MergeActor:
-    """Actor-pool UDF: one __call__ merges the partitions named in its batch.
+def merge_batch(
+    batch: pa.Table, *, index_dir: str, avgdl: float, config_json: dict
+) -> pa.Table:
+    """map_batches (task, ``fn_kwargs``): merge the partitions named in the
+    batch.  Each input row is one skey; per-partition work is large, so the
+    (index_dir, avgdl, config) kwargs are negligible per-task overhead and
+    warm-worker reuse beats actor-pool process startup."""
+    import json
 
-    State (avgdl, config) is held once per actor; each input row is one skey.
-    """
-
-    def __init__(self, index_dir: str, avgdl: float, config_json: dict):
-        self.index_dir = index_dir
-        self.avgdl = avgdl
-        self.config = IndexConfig.from_json(config_json)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import json
-
-        entries = []
-        for skey in batch["skey"].to_pylist():
-            entry = merge_partition(self.index_dir, int(skey), self.avgdl, self.config)
-            entries.append(json.dumps(entry, sort_keys=True))
-        return pa.table({"checkpoint": pa.array(entries, pa.string())})
+    config = IndexConfig.from_json(config_json)
+    entries = []
+    for skey in batch["skey"].to_pylist():
+        entry = merge_partition(index_dir, int(skey), avgdl, config)
+        entries.append(json.dumps(entry, sort_keys=True))
+    return pa.table({"checkpoint": pa.array(entries, pa.string())})
