@@ -118,6 +118,9 @@ class QueryEngine:
         self._postings_cache_cap = 8_000_000  # postings entries (~200 MB)
         self._contrib_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
         self._contrib_cache_size = 0
+        # per-(term, salt) block metadata (prev_last, last, max_tfnorm) —
+        # the block-max skip structure; tiny relative to postings
+        self._blockmeta_cache: dict[tuple[str, int], tuple | None] = {}
 
     # ---------------- internals ----------------
 
@@ -194,6 +197,30 @@ class QueryEngine:
         while self._postings_cache_size > self._postings_cache_cap and len(self._postings_cache) > 1:
             _, old = self._postings_cache.popitem(last=False)
             self._postings_cache_size -= len(old[0])
+        return result
+
+    def _block_meta(self, term: str, salt: int):
+        """(prev_last, last, max_tfnorm) int64/int64/float64 arrays for one
+        (term, salt) posting stream, block order — read WITHOUT the encoded
+        posting columns (the block-max skip structure is metadata-sized)."""
+        key = (term, salt)
+        if key in self._blockmeta_cache:
+            return self._blockmeta_cache[key]
+        path = blocks_file(self.index_dir, self._pkey(term), salt)
+        result = None
+        if os.path.exists(path):
+            t = pq.read_table(
+                path,
+                columns=["last_doc", "max_tfnorm"],
+                filters=[("term", "==", term)],
+            )
+            if len(t):
+                last = t["last_doc"].to_numpy().astype(np.int64)
+                prev = np.empty_like(last)
+                prev[0] = -1
+                prev[1:] = last[:-1]
+                result = (prev, last, t["max_tfnorm"].to_numpy())
+        self._blockmeta_cache[key] = result
         return result
 
     def _term_contribution(self, term: str) -> tuple[np.ndarray, np.ndarray]:
@@ -280,6 +307,153 @@ class QueryEngine:
                 score_arrays.append(s)
         docs, scores = self._accumulate(doc_arrays, score_arrays)
         return self._topk_table(docs, scores, k)
+
+    def match_wand(self, text: str, k: int = 10) -> pa.Table:
+        """Q1+Q4 via block-max pruning (the WAND family, north_star): exact
+        top-k identical to :meth:`match`, but only posting blocks that can
+        still beat the running k-th score are decoded.
+
+        The doc-id space is cut at every block boundary of every query
+        (term, salt) stream into elementary intervals; by construction each
+        interval lies entirely inside (or outside) one block per stream, so
+        ``UB(interval) = Σ_terms idf·max_tfnorm(covering block)`` is a valid
+        score bound for every doc in it (hot terms take the max over salt
+        streams — a doc lives in exactly one).  Intervals are scored exactly
+        in descending-UB chunks; once the k-th exact score θ exceeds the best
+        remaining UB, no undecoded block can contribute a top-k doc.  Exact
+        scores accumulate in query-term order (float-identical to match()
+        and the oracle); ties at θ are kept (strict < pruning) so the
+        (score desc, doc_id asc) tiebreak is preserved."""
+        terms = tokenize(text)
+        if not terms:
+            return _empty_result()
+        if self.n_docs > DENSE_ACC_LIMIT:
+            # chunk accumulator is dense over the doc-id space; partition-
+            # routed serving keeps that bounded.  Out of range → full scoring.
+            return self.match(text, k)
+        tinfo = []
+        for term in terms:
+            df = self.term_df(term)
+            if df == 0:
+                continue
+            w = float(idf_fn(df, self.n_docs))
+            streams = []
+            for salt in self._salts(term):
+                bm = self._block_meta(term, salt)
+                if bm is not None:
+                    streams.append((salt, bm))
+            if streams:
+                tinfo.append((term, w, streams))
+        if not tinfo:
+            return _empty_result()
+
+        # elementary intervals (lo, hi] from all block boundaries
+        edges = np.unique(
+            np.concatenate([bm[1] for _, _, streams in tinfo for _, bm in streams])
+        )
+        hi = edges
+        lo = np.empty_like(edges)
+        lo[0] = -1
+        lo[1:] = edges[:-1]
+
+        ub = np.zeros(len(edges), dtype=np.float64)
+        for _term, w, streams in tinfo:
+            term_ub = np.zeros(len(edges), dtype=np.float64)
+            for _salt, (prev, last, maxtf) in streams:
+                j = np.searchsorted(last, hi)
+                valid = j < len(last)
+                jj = np.clip(j, 0, len(last) - 1)
+                covered = valid & (prev[jj] <= lo)
+                term_ub = np.maximum(term_ub, np.where(covered, w * maxtf[jj], 0.0))
+            ub += term_ub
+
+        order = np.argsort(-ub, kind="stable")
+        theta = -np.inf
+        out_docs: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        n_scored = 0
+        bt_cache: dict[tuple[str, int], pa.Table] = {}
+        decoded_blocks: dict[str, int] = {}
+        total_blocks = {
+            term: sum(len(bm[1]) for _s, bm in streams) for term, _w, streams in tinfo
+        }
+        chunk_docs = 1 << 15
+        i = 0
+        while i < len(order):
+            if ub[order[i]] < theta:
+                break
+            sel = []
+            span = 0
+            while i < len(order) and ub[order[i]] >= theta and (not sel or span < chunk_docs):
+                idx = order[i]
+                sel.append(idx)
+                span += int(hi[idx] - lo[idx])
+                i += 1
+            lo_s = lo[sel]
+            hi_s = hi[sel]
+            o = np.argsort(hi_s)
+            lo_s, hi_s = lo_s[o], hi_s[o]
+
+            acc = np.zeros(self.n_docs, dtype=np.float64)
+            touched = np.zeros(self.n_docs, dtype=bool)
+
+            def in_intervals(d: np.ndarray) -> np.ndarray:
+                pos = np.searchsorted(hi_s, d)
+                pos_c = np.clip(pos, 0, len(hi_s) - 1)
+                return (pos < len(hi_s)) & (d > lo_s[pos_c])
+
+            for term, w, streams in tinfo:  # term order → oracle-identical sums
+                # a block spanning many chunks would be re-decoded per chunk;
+                # once a term is (or becomes) cheaper to hold fully decoded,
+                # gather from the cached contribution arrays instead
+                if (
+                    term in self._contrib_cache
+                    or term in self._postings_cache
+                    or decoded_blocks.get(term, 0) > 0.25 * total_blocks[term]
+                ):
+                    d, contrib_all = self._term_contribution(term)
+                    inside = in_intervals(d)
+                    d_in = d[inside]
+                    if len(d_in):
+                        acc[d_in] += contrib_all[inside]
+                        touched[d_in] = True
+                    continue
+                for salt, (prev, last, maxtf) in streams:
+                    j = np.searchsorted(last, hi_s)
+                    valid = (j < len(last))
+                    jj = np.clip(j, 0, len(last) - 1)
+                    needed = np.unique(jj[valid & (prev[jj] <= lo_s)])
+                    if len(needed) == 0:
+                        continue
+                    decoded_blocks[term] = decoded_blocks.get(term, 0) + len(needed)
+                    bt = bt_cache.get((term, salt))
+                    if bt is None:
+                        bt = self._read_blocks(term, salt)
+                        bt_cache[(term, salt)] = bt
+                    d, f, L = decode_blocks_table(bt.take(pa.array(needed)))
+                    inside = in_intervals(d)
+                    d_in = d[inside]
+                    if len(d_in) == 0:
+                        continue
+                    contrib = w * tf_norm(
+                        f[inside], L[inside], self.avgdl, self.config.k1, self.config.b
+                    )
+                    acc[d_in] += contrib
+                    touched[d_in] = True
+            docs_c = np.nonzero(touched)[0].astype(np.int64)
+            if len(docs_c):
+                out_docs.append(docs_c)
+                out_scores.append(acc[docs_c])
+                n_scored += len(docs_c)
+                if n_scored >= k:
+                    all_scores = np.concatenate(out_scores)
+                    theta = float(np.partition(all_scores, len(all_scores) - k)[len(all_scores) - k])
+            # weak pruning (uniform scores) → grow chunks so the number of
+            # chunk rounds stays logarithmic in the worst case
+            chunk_docs *= 2
+        if not out_docs:
+            return _empty_result()
+        return self._topk_table(np.concatenate(out_docs), np.concatenate(out_scores), k)
 
     def bool_must(
         self,
@@ -540,8 +714,14 @@ class SearchActor:
     loaded once in __init__ (the stateful-stage fix for the reference's
     per-record connection churn, reference: cadaster_entry.py:48,57)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, preload_hot: bool = True):
         self.engine = QueryEngine(index_dir)
+        if preload_hot:
+            # stateful-stage setup belongs in __init__: warm the postings +
+            # contribution caches for the manifest's hot terms once per actor
+            # instead of on the first query that hits each of them
+            for term in self.engine.hot:
+                self.engine._term_contribution(term)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_qid, out_rank, out_doc, out_score = [], [], [], []

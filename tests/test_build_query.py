@@ -113,6 +113,23 @@ def test_rank_identity_reference_query_set(engine, oracle_small):
             assert abs(row["score"] - exp_score) < 1e-6, (q, rank)
 
 
+def test_wand_rank_identical_to_full_scoring(engine, oracle_small):
+    """Block-max pruned top-k (match_wand) must be bit-for-bit rank- and
+    score-identical to full scoring (and hence to the oracle) — including
+    hot (salted) terms, multi-term queries, k > hits, and empty results."""
+    hot = sorted(engine.hot)[:2]
+    queries = [q["text"] for q in reference_query_set() if q["kind"] == "match"]
+    queries += [" ".join(hot), f"{hot[0]} zzz_nonexistent" if hot else "zzz", "zzz_nonexistent"]
+    for text in queries:
+        for k in (1, 10, 10_000):
+            full = engine.match(text, k).to_pylist()
+            wand = engine.match_wand(text, k).to_pylist()
+            assert len(full) == len(wand), (text, k)
+            for a, b in zip(full, wand):
+                assert a["doc_id"] == b["doc_id"], (text, k)
+                assert a["score"] == b["score"], (text, k)
+
+
 def test_keyword_prefix_and_eq(engine, oracle_small):
     # prefix on a keyword column (Q2, the reference's dedup-probe prefix,
     # elasticsearch_utils.py:113-114)
