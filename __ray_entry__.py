@@ -42,7 +42,11 @@ def _engine(sf_dir: str):
     from librecatastro_ray.pipelines.query import QueryEngine
     from librecatastro_ray.sources.docs_table import corpus_from_documents
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from librecatastro_ray.state.manifest import INDEX_FORMAT_VERSION
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:v{INDEX_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     idx_dir = os.path.join(CACHE_ROOT, key)
     if idx_dir not in _ENGINES:
         if not os.path.exists(os.path.join(idx_dir, "manifest.json")):

@@ -45,6 +45,7 @@ from librecatastro_ray.stages.doc_ids import dedup_assign_write
 from librecatastro_ray.stages.merge import merge_batch
 from librecatastro_ray.stages.postings import flat_postings
 from librecatastro_ray.state.manifest import (
+    INDEX_FORMAT_VERSION,
     atomic_write_json,
     completed_partitions,
     load_manifest,
@@ -277,7 +278,7 @@ def build_index(
         for skey, ck in sorted(done.items())
     }
     manifest = {
-        "version": 1,
+        "version": INDEX_FORMAT_VERSION,
         "config": config.to_json(),
         "n_docs": n_docs,
         "sum_dl": sum_dl,

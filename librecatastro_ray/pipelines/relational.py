@@ -131,9 +131,13 @@ def events_hourly(sf_dir: str) -> pa.Table:
         .to_pandas()
     )
     out["sum_value"] = np.round(out["sum_value"], 6)
-    return pa.Table.from_pandas(
+    t = pa.Table.from_pandas(
         out.sort_values(["event_type", "hour"], ignore_index=True), preserve_index=False
     )
+    # pandas yields ns-precision timestamps; SQL engines (and the oracle)
+    # use µs — align so value comparison is representation-independent
+    hour_idx = t.schema.get_field_index("hour")
+    return t.set_column(hour_idx, "hour", t["hour"].cast(pa.timestamp("us")))
 
 
 def filter_project_lineitem(sf_dir: str) -> pa.Table:

@@ -23,6 +23,10 @@ Layout of an index directory:
 
 from __future__ import annotations
 
+# bumped whenever the on-disk index layout/schema changes; cached index
+# directories from other versions must be rebuilt, not read
+INDEX_FORMAT_VERSION = 2
+
 import json
 import os
 import tempfile
