@@ -134,7 +134,7 @@ def run_bench() -> dict:
     build_phases = build_out["report"].get("phase_seconds", {})
 
     # batch query evaluation through the actor pool
-    queries = make_query_set(1000)
+    queries = make_query_set(int(os.environ.get("LCRAY_BENCH_QUERIES", "4000")))
     qds = ray.data.from_items(queries)
     pool = max(2, NUM_CPUS // 2)
     t0 = time.monotonic()
@@ -193,15 +193,18 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best_of(ncpu: int, trials: int) -> dict:
-        # the sandbox host is time-shared and interference varies by minutes;
-        # take the least-interfered (fastest-build) run per side
-        runs = [one(ncpu) for _ in range(trials)]
-        return min(runs, key=lambda r: r["queries"]["build"])
-
+    # the sandbox host is time-shared and interference varies minute to
+    # minute; interleave lo/hi trials and take the least-interfered
+    # (fastest-build) run per side
     trials = int(os.environ.get("LCRAY_SCALING_TRIALS", "2"))
-    lo, hi = 8, 32
-    r_lo, r_hi = best_of(lo, trials), best_of(hi, trials)
+    lo = int(os.environ.get("LCRAY_SCALING_LO", "8"))
+    hi = int(os.environ.get("LCRAY_SCALING_HI", "32"))
+    runs_lo, runs_hi = [], []
+    for _ in range(trials):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["queries"]["build"])
+    r_hi = min(runs_hi, key=lambda r: r["queries"]["build"])
     # efficiency on the build stage (the distributed pipeline under test)
     tput_lo = r_lo["n_docs"] / r_lo["queries"]["build"]
     tput_hi = r_hi["n_docs"] / r_hi["queries"]["build"]

@@ -69,6 +69,17 @@ def add_sha_dl(batch: pa.Table) -> pa.Table:
 def _extract_keys(block: pa.Table, bid: int) -> pa.Table:
     """Project the sort/dedup key columns plus the block/row address."""
     n = len(block)
+    if n == 0 or "repo" not in block.column_names:
+        # empty blocks out of an empty upstream may carry no schema
+        return pa.table(
+            {
+                "bid": pa.array([], pa.int32()),
+                "row": pa.array([], pa.int32()),
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "sha256": pa.array([], pa.string()),
+            }
+        )
     return pa.table(
         {
             "bid": pa.array(np.full(n, bid, dtype=np.int32), pa.int32()),
