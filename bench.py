@@ -210,7 +210,7 @@ def run_scaling() -> dict:
     tput_hi = r_hi["n_docs"] / r_hi["queries"]["build"]
     eff = (tput_hi / tput_lo) / (hi / lo)
     return {
-        "metric": "scaling efficiency (fresh processes, num_cpus 8 vs 32; in-sandbox stand-in for N vs 4N nodes)",
+        "metric": f"scaling efficiency (fresh processes, num_cpus {lo} vs {hi}; in-sandbox stand-in for N vs 4N nodes)",
         "cpus_lo": lo,
         "cpus_hi": hi,
         "build_sec_lo": r_lo["queries"]["build"],

@@ -52,6 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--prefix", default=None, help="prefix on the analyzed field")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--count", action="store_true", help="print hits.total only")
+    q.add_argument("--wand", action="store_true",
+                   help="use block-max pruned top-k (identical results)")
 
     d = sub.add_parser("drop", help="delete an index (idempotent)")
     d.add_argument("--index", required=True)
@@ -97,7 +99,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.prefix is not None:
             res = eng.prefix_content(args.prefix, k=args.k)
         elif args.text is not None:
-            res = eng.match(args.text, k=args.k)
+            res = (eng.match_wand if args.wand else eng.match)(args.text, k=args.k)
         else:
             p.error("query needs --text, --must or --prefix")
             return 2
