@@ -115,9 +115,14 @@ class QueryEngine:
 
         self._postings_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = OrderedDict()
         self._postings_cache_size = 0
-        self._postings_cache_cap = 8_000_000  # postings entries (~200 MB)
+        # postings = 24 B/entry (docs+tf+dl int64); contributions = 16 B/entry
+        # (docs + float64).  Caps sized so a serving actor holds the full hot
+        # set: hot terms are ~5% df each, so ~50 cached terms of a 600k-doc
+        # partition ≈ 15M entries.  ~(360+320) MB per actor at the caps.
+        self._postings_cache_cap = 15_000_000
         self._contrib_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
         self._contrib_cache_size = 0
+        self._contrib_cache_cap = 20_000_000
         # per-(term, salt) block metadata (prev_last, last, max_tfnorm) —
         # the block-max skip structure; tiny relative to postings
         self._blockmeta_cache: dict[tuple[str, int], tuple | None] = {}
@@ -162,6 +167,14 @@ class QueryEngine:
             return None
         t = pq.read_table(path, filters=[("term", "==", term)])
         return t if len(t) else None
+
+    def preload_terms(self, terms: list[str]) -> None:
+        """Warm the contribution (and postings) caches for a term list.
+        (A grouped `term IN (...)` parquet read was measured SLOWER than
+        per-term predicate reads here — per-term row-group pruning with the
+        small blocks_row_group_size wins — so this is a plain loop.)"""
+        for t in dict.fromkeys(terms):
+            self._term_contribution(t)
 
     def load_postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full decoded postings of a term, doc-sorted:
@@ -243,7 +256,7 @@ class QueryEngine:
             result = (docs, contrib)
         self._contrib_cache[term] = result
         self._contrib_cache_size += len(result[0])
-        while self._contrib_cache_size > self._postings_cache_cap and len(self._contrib_cache) > 1:
+        while self._contrib_cache_size > self._contrib_cache_cap and len(self._contrib_cache) > 1:
             _, old = self._contrib_cache.popitem(last=False)
             self._contrib_cache_size -= len(old[0])
         return result
@@ -720,8 +733,7 @@ class SearchActor:
             # stateful-stage setup belongs in __init__: warm the postings +
             # contribution caches for the manifest's hot terms once per actor
             # instead of on the first query that hits each of them
-            for term in self.engine.hot:
-                self.engine._term_contribution(term)
+            self.engine.preload_terms(sorted(self.engine.hot))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_qid, out_rank, out_doc, out_score = [], [], [], []
