@@ -214,6 +214,18 @@ def _q_match_wand(sf_dir: str, text: str, k: int) -> pa.Table:
     return _rounded_rank(_engine(sf_dir).match_wand(text, k=10**9), k)
 
 
+def _q_match_scatter(sf_dir: str, text: str, k: int) -> pa.Table:
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    eng = _engine(sf_dir)
+    out = batch_search_scatter(
+        eng.index_dir,
+        [{"query_id": 0, "kind": "match", "text": text, "k": 10**9}],
+        n_ranges=4,
+    )
+    return _rounded_rank(out.select(["rank", "doc_id", "score"]), k)
+
+
 def _q_bool_must(sf_dir: str, terms: list[str], k: int, lang_eq: str | None = None) -> pa.Table:
     kw = [("lang", lang_eq)] if lang_eq else None
     return _rounded_rank(_engine(sf_dir).bool_must(terms, k=10**9, keyword_eq=kw), k)
@@ -282,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_multi": lambda sf: _q_match(sf, "key value table part", 10),
         "match_k1": lambda sf: _q_match(sf, "value", 1),
         "match_wand": lambda sf: _q_match_wand(sf, "key value table", 10),
+        "match_scatter": lambda sf: _q_match_scatter(sf, "row part hash", 10),
         "bool_must2": lambda sf: _q_bool_must(sf, ["fast", "slow"], 10),
         "bool_must_lang": lambda sf: _q_bool_must(sf, ["table"], 10, lang_eq="en"),
         "prefix_keyword": _q_prefix_keyword,
@@ -334,6 +347,7 @@ FROM stats s
         "match_multi": _bm25_sql(["key", "value", "table", "part"], 10),
         "match_k1": _bm25_sql(["value"], 1),
         "match_wand": _bm25_sql(["key", "value", "table"], 10),
+        "match_scatter": _bm25_sql(["row", "part", "hash"], 10),
         "bool_must2": _bm25_sql(["fast", "slow"], 10, must_all=True),
         "bool_must_lang": _bm25_sql(["table"], 10, must_all=True, lang_eq="en"),
         "prefix_keyword": f"""

@@ -769,3 +769,235 @@ class SearchActor:
                 "score": pa.array(out_score, pa.float64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Scatter-gather serving (doc-range sharded — the ES 5-shard model, SURVEY.md
+# §1.2, re-expressed for a corpus where no single worker can hold the index)
+# ---------------------------------------------------------------------------
+
+_PROCESS_ENGINES: dict[str, QueryEngine] = {}
+
+
+def _process_engine(index_dir: str) -> QueryEngine:
+    """One QueryEngine per worker process, shared across range tasks — Ray
+    reuses worker processes, so dictionaries/block metadata load once."""
+    eng = _PROCESS_ENGINES.get(index_dir)
+    if eng is None:
+        eng = QueryEngine(index_dir)
+        _PROCESS_ENGINES[index_dir] = eng
+    return eng
+
+
+class RangeEngine:
+    """Exact query evaluation restricted to the doc-id range [lo, hi).
+
+    A doc lives in exactly one range and all of its postings for a term sit
+    inside the blocks overlapping the range (blocks are doc-sorted), so
+    per-doc scores computed here equal the global engine's scores exactly —
+    local top-k partials merge into the global top-k with no re-scoring.
+    Memory is bounded by the range's share of postings, not the corpus.
+    """
+
+    def __init__(self, index_dir: str, lo: int, hi: int):
+        self.eng = _process_engine(index_dir)
+        self.lo = int(lo)
+        self.hi = int(hi)
+
+    def _postings_range(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode only blocks overlapping [lo, hi) (block-max skip list)."""
+        eng = self.eng
+        docs_l, tfs_l, dls_l = [], [], []
+        for salt in eng._salts(term):
+            bm = eng._block_meta(term, salt)
+            if bm is None:
+                continue
+            prev, last, _maxtf = bm
+            wanted = np.nonzero((last >= self.lo) & (prev < self.hi - 1))[0]
+            if len(wanted) == 0:
+                continue
+            bt = eng._read_blocks(term, salt)
+            d, f, L = decode_blocks_table(bt.take(pa.array(wanted)))
+            m = (d >= self.lo) & (d < self.hi)
+            docs_l.append(d[m])
+            tfs_l.append(f[m])
+            dls_l.append(L[m])
+        if not docs_l:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        if len(docs_l) > 1:
+            order = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+        return docs, tfs, dls
+
+    def _contribution_range(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        docs, tfs, dls = self._postings_range(term)
+        if len(docs) == 0:
+            return docs, np.zeros(0, dtype=np.float64)
+        df = self.eng.term_df(term)  # GLOBAL df → exact idf
+        w = float(idf_fn(df, self.eng.n_docs))
+        contrib = w * tf_norm(tfs, dls, self.eng.avgdl, self.eng.config.k1, self.eng.config.b)
+        return docs, contrib
+
+    def _acc(self) -> np.ndarray:
+        return np.zeros(self.hi - self.lo, dtype=np.float64)
+
+    def match(self, text: str, k: int) -> pa.Table:
+        acc = self._acc()
+        hit = False
+        for term in tokenize(text):
+            d, s = self._contribution_range(term)
+            if len(d):
+                acc[d - self.lo] += s
+                hit = True
+        if not hit:
+            return _empty_result()
+        docs = np.nonzero(acc)[0].astype(np.int64) + self.lo
+        sel = topk_indices(acc[docs - self.lo], docs, k)
+        return pa.table({"rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+                         "doc_id": pa.array(docs[sel], pa.int64()),
+                         "score": pa.array(acc[docs - self.lo][sel], pa.float64())})
+
+    def bool_must(self, terms: list[str], k: int) -> pa.Table:
+        acc = self._acc()
+        nt = np.zeros(self.hi - self.lo, dtype=np.int32)
+        for term in terms:
+            d, s = self._contribution_range(term)
+            if len(d) == 0:
+                return _empty_result()
+            acc[d - self.lo] += s
+            nt[d - self.lo] += 1
+        cand = np.nonzero(nt == len(terms))[0]
+        if len(cand) == 0:
+            return _empty_result()
+        docs = cand.astype(np.int64) + self.lo
+        sel = topk_indices(acc[cand], docs, k)
+        return pa.table({"rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+                         "doc_id": pa.array(docs[sel], pa.int64()),
+                         "score": pa.array(acc[cand][sel], pa.float64())})
+
+    def union_count(self, terms: list[str]) -> tuple[np.ndarray, int]:
+        flags = np.zeros(self.hi - self.lo, dtype=bool)
+        for term in terms:
+            d, _f, _L = self._postings_range(term)
+            if len(d):
+                flags[d - self.lo] = True
+        docs = np.nonzero(flags)[0].astype(np.int64) + self.lo
+        return docs, len(docs)
+
+
+def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_cap: int) -> pa.Table:
+    """map_batches task: evaluate every query against one doc range; emit
+    top-k partials (plus per-range counts for count-kind queries)."""
+    import json
+
+    out_qid, out_doc, out_score, out_kind = [], [], [], []
+    for row in batch.to_pylist():
+        rid = int(row["range_id"])
+        lo, hi = bounds[rid], bounds[rid + 1]
+        rng = RangeEngine(index_dir, lo, hi)
+        for q in json.loads(row["queries_json"]):
+            qid, kind = q["query_id"], q["kind"]
+            k = int(q.get("k") or 10)
+            if kind == "match":
+                res = rng.match(q["text"], min(k, k_cap))
+            elif kind == "bool_must":
+                res = rng.bool_must(list(q["must_terms"]), min(k, k_cap))
+            elif kind == "prefix_content":
+                terms = rng.eng.expand_prefix(q["prefix"])
+                docs, _n = rng.union_count(terms)
+                docs = docs[: min(k, k_cap)]  # constant score → lowest ids win
+                res = pa.table({"rank": pa.array(np.arange(1, len(docs) + 1, dtype=np.int64)),
+                                "doc_id": pa.array(docs, pa.int64()),
+                                "score": pa.array(np.ones(len(docs)), pa.float64())})
+            elif kind == "count":
+                _docs, n = rng.union_count(tokenize(q["text"]))
+                out_qid.append(qid); out_doc.append(-1); out_score.append(float(n)); out_kind.append("count")
+                continue
+            else:
+                raise ValueError(kind)
+            n = len(res)
+            out_qid.extend([qid] * n)
+            out_doc.extend(res["doc_id"].to_pylist())
+            out_score.extend(res["score"].to_pylist())
+            out_kind.extend([kind] * n)
+    return pa.table({"query_id": pa.array(out_qid, pa.int64()),
+                     "doc_id": pa.array(out_doc, pa.int64()),
+                     "score": pa.array(out_score, pa.float64()),
+                     "kind": pa.array(out_kind, pa.string())})
+
+
+def _merge_query_group(group: pa.Table) -> pa.Table:
+    """map_groups: merge one query's per-range partials into the final
+    top-k (or summed count) with the pinned (score desc, doc_id asc)
+    tiebreak — identical to the single-engine result."""
+    qid = group["query_id"][0].as_py()
+    kind = group["kind"][0].as_py()
+    if kind == "count":
+        total = float(np.sum(group["score"].to_numpy()))
+        return pa.table({"query_id": pa.array([qid], pa.int64()),
+                         "rank": pa.array([0], pa.int64()),
+                         "doc_id": pa.array([-1], pa.int64()),
+                         "score": pa.array([total], pa.float64())})
+    docs = group["doc_id"].to_numpy().astype(np.int64)
+    scores = group["score"].to_numpy()
+    k = int(group["k"][0].as_py()) if "k" in group.column_names else 10
+    sel = topk_indices(scores, docs, k)
+    return pa.table({"query_id": pa.array(np.full(len(sel), qid, dtype=np.int64)),
+                     "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+                     "doc_id": pa.array(docs[sel], pa.int64()),
+                     "score": pa.array(scores[sel], pa.float64())})
+
+
+def batch_search_scatter(
+    index_dir: str,
+    queries: list[dict],
+    n_ranges: int = 8,
+) -> pa.Table:
+    """Scatter-gather batch evaluation: every query runs against ``n_ranges``
+    doc-id ranges in parallel (each range task touches only its slice of the
+    postings — the memory-bounded serving path for corpora whose index
+    exceeds one worker), partial top-k/count rows shuffle by ``query_id``
+    (a tiny exchange: ≤ ranges × k rows per query) and merge exactly.
+
+    Results are identical to running each query on a single full engine:
+    per-doc scores are computed whole within the doc's range and the merge
+    reuses the pinned (score desc, doc_id asc) top-k selection.
+    """
+    import json
+
+    import ray.data
+
+    manifest = load_manifest(index_dir)
+    n_docs = int(manifest["n_docs"])
+    n_ranges = max(1, min(n_ranges, max(1, n_docs)))
+    bounds = [round(i * n_docs / n_ranges) for i in range(n_ranges)] + [n_docs]
+    k_cap = max((int(q.get("k") or 10) for q in queries), default=10)
+    qjson = json.dumps(queries)
+    work = ray.data.from_items(
+        [{"range_id": r, "queries_json": qjson} for r in range(n_ranges)],
+        override_num_blocks=n_ranges,
+    )
+    partials = work.map_batches(
+        _eval_range_batch,
+        fn_kwargs={"index_dir": index_dir, "bounds": bounds, "k_cap": k_cap},
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+    ks = {int(q["query_id"]): int(q.get("k") or 10) for q in queries}
+
+    def attach_k(batch: pa.Table) -> pa.Table:
+        kcol = pa.array([ks.get(int(q), 10) for q in batch["query_id"].to_pylist()], pa.int64())
+        return batch.append_column("k", kcol)
+
+    merged = (
+        partials.map_batches(attach_k, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge_query_group, batch_format="pyarrow")
+    )
+    t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    order = pc.sort_indices(t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
+    return t.take(order)

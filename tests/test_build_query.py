@@ -192,3 +192,31 @@ def test_search_actor_batch(built_index, oracle_small):
         sub = out[out.query_id == q["query_id"]].sort_values("rank")
         exp = oracle_small.match(q["text"], q["k"])
         assert sub["doc_id"].tolist() == [d for d, _ in exp], q
+
+
+def test_scatter_gather_identical_to_single_engine(built_index, engine):
+    """Doc-range scatter-gather serving (batch_search_scatter) returns the
+    same rows as the single full engine for every query kind."""
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    index_dir, _ = built_index
+    queries = []
+    for i, q in enumerate(reference_query_set()):
+        q = dict(q)
+        q["query_id"] = i
+        queries.append(q)
+    got = batch_search_scatter(index_dir, queries, n_ranges=3)
+    by_qid: dict[int, list] = {}
+    for row in got.to_pylist():
+        by_qid.setdefault(row["query_id"], []).append(row)
+    for q in queries:
+        rows = by_qid.get(q["query_id"], [])
+        exp = _engine_eval(engine, q)
+        if q["kind"] == "count":
+            assert len(rows) == 1 and rows[0]["score"] == float(exp), q
+            continue
+        exp_rows = exp.to_pylist()
+        assert len(rows) == len(exp_rows), q
+        for a, b in zip(rows, exp_rows):
+            assert a["rank"] == b["rank"] and a["doc_id"] == b["doc_id"], q
+            assert abs(a["score"] - b["score"]) < 1e-12, q
