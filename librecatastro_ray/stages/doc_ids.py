@@ -97,6 +97,24 @@ def _concat_tables(*tables: pa.Table) -> pa.Table:
 
 
 @ray.remote
+def _sort_keys_single(*tables: pa.Table) -> pa.Table:
+    """Whole key table sorted in ONE task — used when the key table is small
+    enough that a distributed sample-sort's fixed rounds cost more than just
+    sorting it (keys are ~100 B/row; the threshold covers multi-million-row
+    corpora).  The distributed Ray Data sort remains the at-scale path."""
+    t = pa.concat_tables(tables).combine_chunks()
+    order = pa.compute.sort_indices(
+        t,
+        sort_keys=[("repo", "ascending"), ("path", "ascending"), ("sha256", "ascending")],
+    )
+    return t.take(order)
+
+
+# key tables at or below this row count sort in one task
+SMALL_KEYSORT_ROWS = 4_000_000
+
+
+@ray.remote
 def _key_block_meta(block: pa.Table) -> tuple[str, str, str, int]:
     if len(block) == 0:
         return ("", "", "", 0)
@@ -198,23 +216,28 @@ def _bundle_refs(mat: ray.data.Dataset) -> list:
     return refs
 
 
-def _winner_splits(block_refs: list) -> tuple[list[list], int, int]:
+def _winner_splits(block_refs: list, n_rows: int) -> tuple[list[list], int, int]:
     """Key extraction → key-only global sort → per-block dedup → id stamping,
     returning ``(groups, span, n_docs)`` where ``groups[g]`` is the list of
     winner-triple refs for bid range [g*span, (g+1)*span)."""
-    # keys only through the shuffle; pre-coalesce the tiny key blocks so the
-    # sort's all-to-all runs over ~sqrt-fewer partitions (each extra block
-    # costs map×reduce object transfers, while key bytes are negligible)
     key_refs = [_extract_keys.remote(r, bid) for bid, r in enumerate(block_refs)]
-    n_sort_parts = max(4, min(64, (len(key_refs) + 7) // 8))
-    if len(key_refs) > n_sort_parts:
-        chunk = (len(key_refs) + n_sort_parts - 1) // n_sort_parts
-        key_refs = [
-            _concat_tables.remote(*key_refs[i : i + chunk])
-            for i in range(0, len(key_refs), chunk)
-        ]
-    keys_sorted = ray.data.from_arrow_refs(key_refs).sort(["repo", "path", "sha256"]).materialize()
-    skey_refs = _bundle_refs(keys_sorted)
+    if n_rows <= SMALL_KEYSORT_ROWS:
+        skey_refs = [_sort_keys_single.remote(*key_refs)]
+    else:
+        # keys only through the shuffle; pre-coalesce the tiny key blocks so
+        # the sort's all-to-all runs over ~sqrt-fewer partitions (each extra
+        # block costs map×reduce object transfers, key bytes are negligible)
+        n_sort_parts = max(4, min(64, (len(key_refs) + 7) // 8))
+        if len(key_refs) > n_sort_parts:
+            chunk = (len(key_refs) + n_sort_parts - 1) // n_sort_parts
+            key_refs = [
+                _concat_tables.remote(*key_refs[i : i + chunk])
+                for i in range(0, len(key_refs), chunk)
+            ]
+        keys_sorted = (
+            ray.data.from_arrow_refs(key_refs).sort(["repo", "path", "sha256"]).materialize()
+        )
+        skey_refs = _bundle_refs(keys_sorted)
     meta = ray.get([_key_block_meta.remote(r) for r in skey_refs])
     # order blocks by first (repo, path, sha) — sort output blocks are key
     # ranges, so this reconstructs the global order from metadata alone
@@ -260,7 +283,7 @@ def dedup_and_assign_ids(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, int]:
     block_refs = _bundle_refs(mat)
     if not block_refs:
         return mat, 0
-    groups, span, n_docs = _winner_splits(block_refs)
+    groups, span, n_docs = _winner_splits(block_refs, mat.count())
     out_refs = [
         _apply_ids.remote(block, bid, *groups[bid // span])
         for bid, block in enumerate(block_refs)
@@ -282,7 +305,7 @@ def dedup_assign_write(
     block_refs = _bundle_refs(mat)
     if not block_refs:
         return 0, 0
-    groups, span, n_docs = _winner_splits(block_refs)
+    groups, span, n_docs = _winner_splits(block_refs, mat.count())
     count_refs, dl_refs = [], []
     for bid, block in enumerate(block_refs):
         c, d = _apply_ids_write.remote(block, bid, docs_dir, compression, *groups[bid // span])
