@@ -26,11 +26,13 @@ a metadata operation.  Instead:
   4. Per sorted key block: keep-last-of-(repo,path)-run dedup (the next
      block's first key resolves runs spanning a block boundary); dense doc_id
      = per-block cumulative offsets (driver handles only per-block metadata).
-  5. Winner ``(bid, row, doc_id)`` triples are sorted by ``bid`` (again a tiny
-     shuffle) and routed back to their content block; the apply task takes the
-     big block ref as its first argument, so Ray's locality-aware scheduling
-     runs it on the node already holding the block — content crosses the
-     network zero times in the common case.
+  5. Winner ``(bid, row, doc_id)`` triples are scattered straight into
+     bid-range groups (one ``num_returns`` task round, no second sort) and
+     routed back to their content block; the apply task takes the big block
+     ref as its first argument, so Ray's locality-aware scheduling runs it on
+     the node already holding the block — content crosses the network zero
+     times in the common case, and the fused write variant streams the
+     finished doc-store block straight to parquet.
 """
 
 from __future__ import annotations
