@@ -133,19 +133,29 @@ def run_bench() -> dict:
     build_sec = time.monotonic() - t0
     build_phases = build_out["report"].get("phase_seconds", {})
 
-    # batch query evaluation through the actor pool
+    # batch query evaluation: full-replica actor pool while an actor can hold
+    # the hot working set; doc-range scatter-gather (each task touches 1/R of
+    # the postings) once the corpus outgrows that — the at-scale serving path
     queries = make_query_set(int(os.environ.get("LCRAY_BENCH_QUERIES", "4000")))
-    qds = ray.data.from_items(queries)
-    pool = max(2, NUM_CPUS // 2)
+    scatter_min = int(os.environ.get("LCRAY_SCATTER_MIN_DOCS", "1000000"))
     t0 = time.monotonic()
-    out = qds.map_batches(
-        SearchActor,
-        fn_constructor_kwargs={"index_dir": index_dir},
-        batch_format="pyarrow",
-        batch_size=32,
-        concurrency=pool,
-        num_cpus=1,
-    ).count()
+    if n_docs >= scatter_min:
+        from librecatastro_ray.pipelines.query import batch_search_scatter
+
+        query_mode = "scatter"
+        out = len(batch_search_scatter(index_dir, queries, n_ranges=NUM_CPUS))
+    else:
+        query_mode = "replica-pool"
+        qds = ray.data.from_items(queries)
+        pool = max(2, NUM_CPUS // 2)
+        out = qds.map_batches(
+            SearchActor,
+            fn_constructor_kwargs={"index_dir": index_dir},
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=pool,
+            num_cpus=1,
+        ).count()
     query_sec = time.monotonic() - t0
 
     t0 = time.monotonic()
@@ -174,6 +184,7 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / build_sec, 1),
         "qps": round(len(queries) / query_sec, 1),
         "result_rows": out,
+        "query_mode": query_mode,
         "build_phases": build_phases,
     }
 

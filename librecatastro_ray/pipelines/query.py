@@ -126,6 +126,7 @@ class QueryEngine:
         # per-(term, salt) block metadata (prev_last, last, max_tfnorm) —
         # the block-max skip structure; tiny relative to postings
         self._blockmeta_cache: dict[tuple[str, int], tuple | None] = {}
+        self._prefix_cache: dict[str, list[str]] = {}
 
     # ---------------- internals ----------------
 
@@ -624,7 +625,11 @@ class QueryEngine:
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """All dictionary terms with the given prefix (scans every partition's
-        dictionary — the dictionaries are the small artifact)."""
+        dictionary — the dictionaries are the small artifact).  Cached per
+        prefix: batch workloads repeat them."""
+        cached = self._prefix_cache.get(prefix)
+        if cached is not None:
+            return cached
         out: set[str] = set()
         for pkey in range(self.config.num_partitions):
             for salt in range(self.config.num_salts):
@@ -634,7 +639,10 @@ class QueryEngine:
                 m = pc.starts_with(d["term"], prefix)
                 sub = d.filter(m)
                 out.update(sub["term"].to_pylist())
-        return sorted(out)
+        result = sorted(out)
+        if len(self._prefix_cache) < 10_000:
+            self._prefix_cache[prefix] = result
+        return result
 
     def count(self, text: str) -> int:
         """Q5: exact hits.total of a match query."""
@@ -803,9 +811,16 @@ class RangeEngine:
         self.eng = _process_engine(index_dir)
         self.lo = int(lo)
         self.hi = int(hi)
+        # per-range term caches: the working set is the range's 1/R share of
+        # the postings, so a batch of queries decodes each term once
+        self._contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def _postings_range(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decode only blocks overlapping [lo, hi) (block-max skip list)."""
+        cached = self._postings.get(term)
+        if cached is not None:
+            return cached
         eng = self.eng
         docs_l, tfs_l, dls_l = [], [], []
         for salt in eng._salts(term):
@@ -831,16 +846,24 @@ class RangeEngine:
         if len(docs_l) > 1:
             order = np.argsort(docs, kind="stable")
             docs, tfs, dls = docs[order], tfs[order], dls[order]
-        return docs, tfs, dls
+        result = (docs, tfs, dls)
+        self._postings[term] = result
+        return result
 
     def _contribution_range(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        cached = self._contrib.get(term)
+        if cached is not None:
+            return cached
         docs, tfs, dls = self._postings_range(term)
         if len(docs) == 0:
-            return docs, np.zeros(0, dtype=np.float64)
-        df = self.eng.term_df(term)  # GLOBAL df → exact idf
-        w = float(idf_fn(df, self.eng.n_docs))
-        contrib = w * tf_norm(tfs, dls, self.eng.avgdl, self.eng.config.k1, self.eng.config.b)
-        return docs, contrib
+            result = (docs, np.zeros(0, dtype=np.float64))
+        else:
+            df = self.eng.term_df(term)  # GLOBAL df → exact idf
+            w = float(idf_fn(df, self.eng.n_docs))
+            contrib = w * tf_norm(tfs, dls, self.eng.avgdl, self.eng.config.k1, self.eng.config.b)
+            result = (docs, contrib)
+        self._contrib[term] = result
+        return result
 
     def _acc(self) -> np.ndarray:
         return np.zeros(self.hi - self.lo, dtype=np.float64)
