@@ -188,10 +188,9 @@ def build_index(
         report["phases_skipped"].append("docs")
         stats = read_json(_marker(docs_dir))
     else:
-        import shutil
-
-        if os.path.isdir(docs_dir):
-            shutil.rmtree(docs_dir)
+        # no wipe here: dedup_assign_write's _PLAN.json keeps part files
+        # from a crashed run when the corpus is unchanged (block-level
+        # resume) and clears them itself when it is not
         ds = _as_dataset(corpus)
         n_docs_a, sum_dl_a = dedup_assign_write(ds, docs_dir)
         stats = {"n_docs": int(n_docs_a), "sum_dl": int(sum_dl_a)}

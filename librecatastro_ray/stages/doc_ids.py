@@ -198,13 +198,18 @@ def _apply_ids_write(
     """Like _apply_ids, but writes the finished doc-store block straight to
     ``docs_dir/part-{bid}.parquet`` (atomic tmp+rename) instead of returning
     it — the corpus payload goes object store → disk without a second
-    materialized copy.  Returns (n_rows, sum_dl)."""
+    materialized copy.  A part file that already exists (same build plan,
+    see dedup_assign_write) is left untouched and only re-counted — block-
+    level resume for the docs phase.  Returns (n_rows, sum_dl)."""
     import pyarrow.parquet as pq
 
+    path = os.path.join(docs_dir, f"part-{bid:06d}.parquet")
+    if os.path.exists(path):
+        t = pq.read_table(path, columns=["dl"])
+        return len(t), int(np.asarray(t["dl"]).sum()) if len(t) else 0
     out = _stamped_block(block, bid, winner_groups)
     if len(out) == 0:
         return 0, 0
-    path = os.path.join(docs_dir, f"part-{bid:06d}.parquet")
     tmp = path + ".tmp"
     pq.write_table(out, tmp, compression="zstd" if compression == "zstd" else compression)
     os.replace(tmp, path)
@@ -216,6 +221,17 @@ def _bundle_refs(mat: ray.data.Dataset) -> list:
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
     return refs
+
+
+def _bundle_refs_meta(mat: ray.data.Dataset) -> tuple[list, list[int]]:
+    """Block refs plus per-block row counts (from bundle metadata — free)."""
+    refs: list = []
+    rows: list[int] = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+        for m in bundle.metadata:
+            rows.append(int(m.num_rows if m.num_rows is not None else -1))
+    return refs, rows
 
 
 def _winner_splits(block_refs: list, n_rows: int) -> tuple[list[list], int, int]:
@@ -299,15 +315,38 @@ def dedup_assign_write(
     """Fused variant for the build pipeline: dedup + id assignment with the
     finished doc-store blocks written straight to ``docs_dir`` (one parquet
     file per content block, atomic rename) — the corpus payload crosses the
-    object store exactly once and is never re-materialized.  Returns
+    object store exactly once and is never re-materialized.
+
+    Block-level resume: a ``_PLAN.json`` records (n_blocks, n_rows) before
+    any write; when a rerun sees the same plan, part files that survived the
+    crash are kept (ids are deterministic for a fixed corpus, so surviving
+    files are correct) and only missing blocks are recomputed.  A differing
+    plan (corpus changed) wipes the directory first.  Returns
     ``(n_docs, sum_dl)``."""
+    import glob
+    import json
+
     os.makedirs(docs_dir, exist_ok=True)
     ds = ds.map_batches(add_sha_dl, batch_format="pyarrow", batch_size=512)
     mat = ds.materialize()
-    block_refs = _bundle_refs(mat)
+    block_refs, block_rows = _bundle_refs_meta(mat)
     if not block_refs:
         return 0, 0
-    groups, span, n_docs = _winner_splits(block_refs, mat.count())
+    n_rows = mat.count()
+    plan_path = os.path.join(docs_dir, "_PLAN.json")
+    plan = {"n_blocks": len(block_refs), "n_rows": int(n_rows), "block_rows": block_rows}
+    old_plan = None
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            old_plan = json.load(f)
+    if old_plan != plan:
+        for f in glob.glob(os.path.join(docs_dir, "part-*.parquet*")):
+            os.remove(f)
+        tmp = plan_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(plan, f)
+        os.replace(tmp, plan_path)
+    groups, span, n_docs = _winner_splits(block_refs, n_rows)
     count_refs, dl_refs = [], []
     for bid, block in enumerate(block_refs):
         c, d = _apply_ids_write.remote(block, bid, docs_dir, compression, *groups[bid // span])

@@ -80,3 +80,41 @@ def test_rebuild_is_idempotent_and_drop(tmp_path):
     assert drop_index(d) is True
     assert drop_index(d) is False
     assert not os.path.exists(d)
+
+
+def test_docs_phase_block_level_resume(tmp_path):
+    """A crash mid-docs-phase (no _DONE marker, some part files written)
+    resumes without rewriting the surviving part files, and the final index
+    answers queries identically."""
+    import ray.data
+
+    table = make_corpus(n_docs=1200, seed=11, vocab_size=400, mean_tokens=25)
+    corpus = lambda: ray.data.from_arrow(table).repartition(6)  # noqa: E731
+    full_dir = str(tmp_path / "full")
+    build_index(corpus(), full_dir, _cfg())
+    ref_eng = QueryEngine(full_dir)
+    ref = ref_eng.match("def", 10).to_pylist()
+
+    crash_dir = str(tmp_path / "crash")
+    # run only the docs phase by building fully, then simulating a crash:
+    # remove the phase marker + every later artifact + SOME part files
+    shutil.copytree(full_dir, crash_dir)
+    os.remove(os.path.join(crash_dir, "manifest.json"))
+    docs = os.path.join(crash_dir, "docs")
+    os.remove(os.path.join(docs, "_DONE.json"))
+    parts = sorted(f for f in os.listdir(docs) if f.startswith("part-"))
+    assert len(parts) >= 2, "need multiple doc part files for this test"
+    removed = parts[0]
+    os.remove(os.path.join(docs, removed))
+    survivor = os.path.join(docs, parts[1])
+    mtime_before = os.path.getmtime(survivor)
+    shutil.rmtree(os.path.join(crash_dir, "parts"))
+    shutil.rmtree(os.path.join(crash_dir, "checkpoints"))
+    shutil.rmtree(os.path.join(crash_dir, "shuffle"))
+
+    r = build_index(corpus(), crash_dir, _cfg(), resume=True)
+    assert "docs" not in r["report"]["phases_skipped"]
+    assert os.path.exists(os.path.join(docs, removed))
+    assert os.path.getmtime(survivor) == mtime_before, "survivor was rewritten"
+    got = QueryEngine(crash_dir).match("def", 10).to_pylist()
+    assert got == ref
