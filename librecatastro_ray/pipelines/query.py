@@ -868,7 +868,11 @@ class RangeEngine:
     def _acc(self) -> np.ndarray:
         return np.zeros(self.hi - self.lo, dtype=np.float64)
 
-    def match(self, text: str, k: int) -> pa.Table:
+    _EMPTY = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+
+    def match(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """→ (doc_ids, scores) of the range-local top-k (plain numpy — one
+        Arrow table per query per range would dominate batch evaluation)."""
         acc = self._acc()
         hit = False
         for term in tokenize(text):
@@ -877,30 +881,26 @@ class RangeEngine:
                 acc[d - self.lo] += s
                 hit = True
         if not hit:
-            return _empty_result()
+            return self._EMPTY
         docs = np.nonzero(acc)[0].astype(np.int64) + self.lo
         sel = topk_indices(acc[docs - self.lo], docs, k)
-        return pa.table({"rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
-                         "doc_id": pa.array(docs[sel], pa.int64()),
-                         "score": pa.array(acc[docs - self.lo][sel], pa.float64())})
+        return docs[sel], acc[docs - self.lo][sel]
 
-    def bool_must(self, terms: list[str], k: int) -> pa.Table:
+    def bool_must(self, terms: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
         acc = self._acc()
         nt = np.zeros(self.hi - self.lo, dtype=np.int32)
         for term in terms:
             d, s = self._contribution_range(term)
             if len(d) == 0:
-                return _empty_result()
+                return self._EMPTY
             acc[d - self.lo] += s
             nt[d - self.lo] += 1
         cand = np.nonzero(nt == len(terms))[0]
         if len(cand) == 0:
-            return _empty_result()
+            return self._EMPTY
         docs = cand.astype(np.int64) + self.lo
         sel = topk_indices(acc[cand], docs, k)
-        return pa.table({"rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
-                         "doc_id": pa.array(docs[sel], pa.int64()),
-                         "score": pa.array(acc[cand][sel], pa.float64())})
+        return docs[sel], acc[cand][sel]
 
     def union_count(self, terms: list[str]) -> tuple[np.ndarray, int]:
         flags = np.zeros(self.hi - self.lo, dtype=bool)
@@ -917,7 +917,7 @@ def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_c
     top-k partials (plus per-range counts for count-kind queries)."""
     import json
 
-    out_qid, out_doc, out_score, out_kind = [], [], [], []
+    qid_l, doc_l, score_l, kind_l = [], [], [], []
     for row in batch.to_pylist():
         rid = int(row["range_id"])
         lo, hi = bounds[rid], bounds[rid + 1]
@@ -926,31 +926,34 @@ def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_c
             qid, kind = q["query_id"], q["kind"]
             k = int(q.get("k") or 10)
             if kind == "match":
-                res = rng.match(q["text"], min(k, k_cap))
+                docs, scores = rng.match(q["text"], min(k, k_cap))
             elif kind == "bool_must":
-                res = rng.bool_must(list(q["must_terms"]), min(k, k_cap))
+                docs, scores = rng.bool_must(list(q["must_terms"]), min(k, k_cap))
             elif kind == "prefix_content":
                 terms = rng.eng.expand_prefix(q["prefix"])
                 docs, _n = rng.union_count(terms)
                 docs = docs[: min(k, k_cap)]  # constant score → lowest ids win
-                res = pa.table({"rank": pa.array(np.arange(1, len(docs) + 1, dtype=np.int64)),
-                                "doc_id": pa.array(docs, pa.int64()),
-                                "score": pa.array(np.ones(len(docs)), pa.float64())})
+                scores = np.ones(len(docs), dtype=np.float64)
             elif kind == "count":
                 _docs, n = rng.union_count(tokenize(q["text"]))
-                out_qid.append(qid); out_doc.append(-1); out_score.append(float(n)); out_kind.append("count")
-                continue
+                docs = np.array([-1], dtype=np.int64)
+                scores = np.array([float(n)], dtype=np.float64)
             else:
                 raise ValueError(kind)
-            n = len(res)
-            out_qid.extend([qid] * n)
-            out_doc.extend(res["doc_id"].to_pylist())
-            out_score.extend(res["score"].to_pylist())
-            out_kind.extend([kind] * n)
-    return pa.table({"query_id": pa.array(out_qid, pa.int64()),
-                     "doc_id": pa.array(out_doc, pa.int64()),
-                     "score": pa.array(out_score, pa.float64()),
-                     "kind": pa.array(out_kind, pa.string())})
+            if len(docs):
+                qid_l.append(np.full(len(docs), qid, dtype=np.int64))
+                doc_l.append(docs)
+                score_l.append(scores)
+                kind_l.extend([kind] * len(docs))
+    if not qid_l:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "kind": pa.array([], pa.string())})
+    return pa.table({"query_id": pa.array(np.concatenate(qid_l), pa.int64()),
+                     "doc_id": pa.array(np.concatenate(doc_l), pa.int64()),
+                     "score": pa.array(np.concatenate(score_l), pa.float64()),
+                     "kind": pa.array(kind_l, pa.string())})
 
 
 def _merge_query_group(group: pa.Table) -> pa.Table:
