@@ -68,23 +68,25 @@ def _phase_done(d: str) -> bool:
 TARGET_BLOCK_BYTES = 64 << 20  # ~64 MB of (compressed) parquet per block
 
 
+def _read_sized(path: str, columns: list[str]) -> ray.data.Dataset:
+    """Size-aware parquet read: Ray's default read split (min 200 blocks)
+    fragments small inputs into KB-scale blocks, multiplying per-block task
+    overhead and — worse — the partitioned shuffle-spill file count
+    (map_blocks × skeys).  Target ~TARGET_BLOCK_BYTES per block with a floor
+    of 2 tasks per CPU for parallelism."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    n_blocks = max(2 * n_cpus, total // TARGET_BLOCK_BYTES or 1)
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=int(n_blocks))
+
+
 def _as_dataset(corpus: Any) -> ray.data.Dataset:
     if isinstance(corpus, str):
-        # size-aware block count: Ray's default read split (min 200 blocks)
-        # fragments small corpora into KB-scale blocks, multiplying per-block
-        # task overhead and — worse — the partitioned shuffle-spill file count
-        # (map_blocks × skeys).  Target ~TARGET_BLOCK_BYTES per block with a
-        # floor of 2 tasks per CPU for parallelism.
-        total = 0
-        for root, _dirs, files in os.walk(corpus):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += os.path.getsize(os.path.join(root, f))
-        n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
-        n_blocks = max(2 * n_cpus, total // TARGET_BLOCK_BYTES or 1)
-        return ray.data.read_parquet(
-            corpus, columns=CORPUS_COLUMNS, override_num_blocks=int(n_blocks)
-        )
+        return _read_sized(corpus, CORPUS_COLUMNS)
     if isinstance(corpus, pa.Table):
         return ray.data.from_arrow(corpus)
     return corpus
@@ -198,7 +200,7 @@ def build_index(
     report["phase_seconds"]["docs"] = round(_t() - _t0, 3)
     _t0 = _t()
 
-    mat_docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "content"])
+    mat_docs = _read_sized(docs_dir, ["doc_id", "content"])
 
     n_docs = int(stats["n_docs"])
     sum_dl = int(stats["sum_dl"])
