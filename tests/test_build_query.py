@@ -220,3 +220,26 @@ def test_scatter_gather_identical_to_single_engine(built_index, engine):
         for a, b in zip(rows, exp_rows):
             assert a["rank"] == b["rank"] and a["doc_id"] == b["doc_id"], q
             assert abs(a["score"] - b["score"]) < 1e-12, q
+
+
+def test_salted_equals_unsalted(tmp_path, corpus_small):
+    """Salting is a physical layout choice only: an index built with
+    aggressive salting answers identically to one built with salting
+    disabled (SURVEY.md §5.2 'salting merge = unsalted result')."""
+    from librecatastro_ray.config import IndexConfig
+    from librecatastro_ray.pipelines.build import build_index
+
+    salted_dir = str(tmp_path / "salted")
+    plain_dir = str(tmp_path / "plain")
+    build_index(corpus_small, salted_dir,
+                IndexConfig(num_partitions=4, num_salts=3, hot_df_ratio=0.05, block_size=16))
+    build_index(corpus_small, plain_dir,
+                IndexConfig(num_partitions=4, num_salts=1, hot_df_ratio=1.1, block_size=16))
+    a, b = QueryEngine(salted_dir), QueryEngine(plain_dir)
+    assert len(a.hot) > 0 and len(b.hot) == 0
+    for q in reference_query_set():
+        ra, rb = _engine_eval(a, q), _engine_eval(b, q)
+        if q["kind"] == "count":
+            assert ra == rb, q
+        else:
+            assert ra.to_pylist() == rb.to_pylist(), q
