@@ -127,6 +127,7 @@ class QueryEngine:
         # the block-max skip structure; tiny relative to postings
         self._blockmeta_cache: dict[tuple[str, int], tuple | None] = {}
         self._prefix_cache: dict[str, list[str]] = {}
+        self._df_maps: dict[tuple[int, int], dict[str, int]] = {}
 
     # ---------------- internals ----------------
 
@@ -150,17 +151,21 @@ class QueryEngine:
             self._dict_cache[key] = t
         return t
 
+    def _df_map(self, pkey: int, salt: int) -> dict[str, int]:
+        """{term: df} for one dictionary file — O(1) lookups for workloads
+        that probe many terms (prefix expansions)."""
+        key = (pkey, salt)
+        m = self._df_maps.get(key)
+        if m is None:
+            d = self._dict_table(pkey, salt)
+            m = dict(zip(d["term"].to_pylist(), d["df"].to_pylist()))
+            self._df_maps[key] = m
+        return m
+
     def term_df(self, term: str) -> int:
         """Total document frequency (summed over salt runs for hot terms)."""
         pkey = self._pkey(term)
-        total = 0
-        for salt in self._salts(term):
-            d = self._dict_table(pkey, salt)
-            m = pc.equal(d["term"], term)
-            sub = d.filter(m)
-            if len(sub):
-                total += int(sub["df"][0].as_py())
-        return total
+        return sum(self._df_map(pkey, salt).get(term, 0) for salt in self._salts(term))
 
     def _read_blocks(self, term: str, salt: int) -> pa.Table | None:
         path = blocks_file(self.index_dir, self._pkey(term), salt)
@@ -815,9 +820,14 @@ class RangeEngine:
         # the postings, so a batch of queries decodes each term once
         self._contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._prefix_docs: dict[str, np.ndarray] = {}
 
     def _postings_range(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Decode only blocks overlapping [lo, hi) (block-max skip list)."""
+        """Read AND decode only blocks overlapping [lo, hi): the overlapping
+        block_no span (contiguous — blocks are doc-sorted) goes into the
+        parquet filter, so a range task's IO is its share of the postings,
+        not the term's whole list (32 ranges × full reads would amplify IO
+        by the range count)."""
         cached = self._postings.get(term)
         if cached is not None:
             return cached
@@ -831,8 +841,18 @@ class RangeEngine:
             wanted = np.nonzero((last >= self.lo) & (prev < self.hi - 1))[0]
             if len(wanted) == 0:
                 continue
-            bt = eng._read_blocks(term, salt)
-            d, f, L = decode_blocks_table(bt.take(pa.array(wanted)))
+            path = blocks_file(eng.index_dir, eng._pkey(term), salt)
+            bt = pq.read_table(
+                path,
+                filters=[
+                    ("term", "==", term),
+                    ("block_no", ">=", int(wanted[0])),
+                    ("block_no", "<=", int(wanted[-1])),
+                ],
+            )
+            if len(bt) == 0:
+                continue
+            d, f, L = decode_blocks_table(bt)
             m = (d >= self.lo) & (d < self.hi)
             docs_l.append(d[m])
             tfs_l.append(f[m])
@@ -911,6 +931,51 @@ class RangeEngine:
         docs = np.nonzero(flags)[0].astype(np.int64) + self.lo
         return docs, len(docs)
 
+    def prefix_union(self, prefix: str) -> tuple[np.ndarray, int]:
+        """Union of all docs whose terms start with ``prefix``, restricted to
+        the range.  Hybrid IO plan: terms with many posting blocks go through
+        the block-pruned per-term read (IO = the range's share); the long
+        tail of small terms — a prefix can expand to thousands — batches
+        into ONE ``term IN (...)`` read per (partition, salt) file (their
+        whole lists are at most a few blocks, so range pruning buys nothing
+        but per-read overhead dominates)."""
+        cached = self._prefix_docs.get(prefix)
+        if cached is None:
+            eng = self.eng
+            flags = np.zeros(self.hi - self.lo, dtype=bool)
+            # a per-term ranged read costs ~ms of parquet open/footer work;
+            # it only beats the batched IN-read when the doc-range pruning
+            # saves a corpus-scale fraction of the decode
+            big_cut = max(10 * eng.config.block_size, eng.n_docs // 64)
+            grouped: dict[tuple[int, int], list[str]] = {}
+            for term in eng.expand_prefix(prefix):
+                pk = eng._pkey(term)
+                if eng.term_df(term) >= big_cut:
+                    d, _f, _L = self._postings_range(term)
+                    if len(d):
+                        flags[d - self.lo] = True
+                else:
+                    for salt in eng._salts(term):
+                        grouped.setdefault((pk, salt), []).append(term)
+            for (pk, salt), terms in grouped.items():
+                path = blocks_file(eng.index_dir, pk, salt)
+                if not os.path.exists(path):
+                    continue
+                bt = pq.read_table(
+                    path,
+                    columns=["n", "docs", "tfs", "dls"],
+                    filters=[("term", "in", terms)],
+                )
+                if len(bt) == 0:
+                    continue
+                d, _f, _L = decode_blocks_table(bt)
+                m = (d >= self.lo) & (d < self.hi)
+                if m.any():
+                    flags[d[m] - self.lo] = True
+            cached = np.nonzero(flags)[0].astype(np.int64) + self.lo
+            self._prefix_docs[prefix] = cached
+        return cached, len(cached)
+
 
 def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_cap: int) -> pa.Table:
     """map_batches task: evaluate every query against one doc range; emit
@@ -930,8 +995,7 @@ def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_c
             elif kind == "bool_must":
                 docs, scores = rng.bool_must(list(q["must_terms"]), min(k, k_cap))
             elif kind == "prefix_content":
-                terms = rng.eng.expand_prefix(q["prefix"])
-                docs, _n = rng.union_count(terms)
+                docs, _n = rng.prefix_union(q["prefix"])
                 docs = docs[: min(k, k_cap)]  # constant score → lowest ids win
                 scores = np.ones(len(docs), dtype=np.float64)
             elif kind == "count":
