@@ -604,16 +604,42 @@ class QueryEngine:
 
     def prefix_content(self, prefix: str, k: int = 10) -> pa.Table:
         """Q2 on the analyzed field: term-dictionary range scan → OR of
-        postings, constant score 1.0."""
+        postings, constant score 1.0.  Small expanded terms not already in
+        the LRU batch into one ``term IN (...)`` read per (partition, salt)
+        file — a prefix can expand to thousands of tiny terms, and per-term
+        parquet opens would dominate."""
         terms = self.expand_prefix(prefix)
-        docs = self._union_docs(terms)
+        cold_small: dict[tuple[int, int], list[str]] = {}
+        via_cache: list[str] = []
+        big_cut = 10 * self.config.block_size
+        for t in terms:
+            if t in self._postings_cache or self.term_df(t) >= big_cut:
+                via_cache.append(t)
+            else:
+                pk = self._pkey(t)
+                for salt in self._salts(t):
+                    cold_small.setdefault((pk, salt), []).append(t)
+        doc_parts: list[np.ndarray] = []
+        for (pk, salt), ts in cold_small.items():
+            path = blocks_file(self.index_dir, pk, salt)
+            if not os.path.exists(path):
+                continue
+            bt = pq.read_table(path, columns=["n", "docs", "tfs", "dls"],
+                               filters=[("term", "in", ts)])
+            if len(bt):
+                d, _f, _L = decode_blocks_table(bt)
+                doc_parts.append(d)
+        docs = self._union_docs(via_cache, extra_docs=doc_parts)
         if docs is None:
             return _empty_result()
         return self._topk_table(docs, np.ones(len(docs), dtype=np.float64), k)
 
-    def _union_docs(self, terms: list[str]) -> np.ndarray | None:
-        """Sorted unique union of the terms' doc ids (dense-flag path when the
-        id space fits; sparse unique otherwise)."""
+    def _union_docs(
+        self, terms: list[str], extra_docs: list[np.ndarray] | None = None
+    ) -> np.ndarray | None:
+        """Sorted unique union of the terms' doc ids plus any pre-decoded doc
+        arrays (dense-flag path when the id space fits; sparse otherwise)."""
+        extra = [d for d in (extra_docs or []) if len(d)]
         if self.n_docs <= DENSE_ACC_LIMIT:
             flags = np.zeros(self.n_docs, dtype=bool)
             hit = False
@@ -622,8 +648,12 @@ class QueryEngine:
                 if len(d):
                     flags[d] = True
                     hit = True
+            for d in extra:
+                flags[d] = True
+                hit = True
             return np.nonzero(flags)[0].astype(np.int64) if hit else None
         doc_sets = [d for term in terms for d, _, _ in [self.load_postings(term)] if len(d)]
+        doc_sets.extend(extra)
         if not doc_sets:
             return None
         return np.unique(np.concatenate(doc_sets))
