@@ -243,3 +243,31 @@ def test_salted_equals_unsalted(tmp_path, corpus_small):
             assert ra == rb, q
         else:
             assert ra.to_pylist() == rb.to_pylist(), q
+
+
+def test_wide_rows_build_and_query(tmp_path):
+    """Wide records (SURVEY.md §7.4 item 5): ~200 KB content rows build and
+    query correctly with small batches — the token explosion per row stays
+    inside worker memory because batches are rows, not bytes, bounded."""
+    import pyarrow as pa
+
+    from librecatastro_ray.config import IndexConfig
+    from librecatastro_ray.pipelines.build import build_index
+
+    rows = []
+    for i in range(24):
+        body = " ".join(f"tok{j % 997}" for j in range(30_000))  # ~200 KB
+        rows.append({
+            "repo": f"org/wide{i % 3}", "path": f"big/file_{i:03d}.txt",
+            "commit": f"{i:040d}", "lang": "txt",
+            "content": f"needle_{i:04d} {body}",
+        })
+    corpus = pa.Table.from_pylist(rows)
+    idx = str(tmp_path / "wide")
+    build_index(corpus, idx, IndexConfig(num_partitions=2, num_salts=2, block_size=64,
+                                         batch_size=4, hot_df_ratio=0.5))
+    eng = QueryEngine(idx)
+    assert eng.n_docs == 24
+    r = eng.match("needle_0007", k=5)
+    assert len(r) == 1 and r["doc_id"][0].as_py() == eng.keyword_docs("path", "big/file_007.txt")[0]
+    assert eng.count("tok1") == 24
