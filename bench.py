@@ -6,10 +6,11 @@ Prints ONE JSON line:
    "queries": {"build": s, "query": s, ...}, "sf": ..., "num_cpus": N,
    "n_docs": ..., "docs_per_sec": ..., "qps": ...}
 
---scaling: runs the same benchmark in two fresh processes at 8 and 32 CPUs
-on the same input and reports both throughputs + scaling efficiency
-(the in-sandbox stand-in for the N vs 4N node cluster rule; no real
-cluster exists here).
+--scaling: runs the same benchmark in fresh processes at N and 4N CPUs
+(default 2 vs 8, env LCRAY_SCALING_LO/HI) on the same input, interleaved
+best-of-N trials, and reports both throughputs + scaling efficiency (the
+in-sandbox stand-in for the N vs 4N node cluster rule; no real cluster
+exists here).
 """
 
 from __future__ import annotations
@@ -208,8 +209,11 @@ def run_scaling() -> dict:
     # minute; interleave lo/hi trials and take the least-interfered
     # (fastest-build) run per side
     trials = int(os.environ.get("LCRAY_SCALING_TRIALS", "2"))
-    lo = int(os.environ.get("LCRAY_SCALING_LO", "8"))
-    hi = int(os.environ.get("LCRAY_SCALING_HI", "32"))
+    # default pair 2 vs 8: this host is oversubscribed above ~8-16 procs
+    # (see BASELINE.md's control microbenchmark), so 8-vs-32 measures the
+    # virtualization, not the engine; 2-vs-8 is the meaningful N-vs-4N pair
+    lo = int(os.environ.get("LCRAY_SCALING_LO", "2"))
+    hi = int(os.environ.get("LCRAY_SCALING_HI", "8"))
     runs_lo, runs_hi = [], []
     for _ in range(trials):
         runs_lo.append(one(lo))
