@@ -21,8 +21,10 @@ a metadata operation.  Instead:
      once and stay where they are.
   2. A per-block task projects the tiny key table
      ``(bid, row, repo, path, sha256)`` (~100 B/row).
-  3. Only the key tables are globally sorted (Ray Data sort — the engine's
-     one global sort, ~0.1% of corpus bytes).
+  3. Only the key tables are globally sorted — the engine's one global
+     sort, ~0.1% of corpus bytes: a 2-round distributed sample sort
+     (deterministic evenly-spaced samples → boundary split via vectorized
+     compares → per-range sorts), single-task below ~300k keys.
   4. Per sorted key block: keep-last-of-(repo,path)-run dedup (the next
      block's first key resolves runs spanning a block boundary); dense doc_id
      = per-block cumulative offsets (driver handles only per-block metadata).
@@ -93,27 +95,98 @@ def _extract_keys(block: pa.Table, bid: int) -> pa.Table:
     )
 
 
-@ray.remote
-def _concat_tables(*tables: pa.Table) -> pa.Table:
-    return pa.concat_tables(tables).combine_chunks()
+def _combined_key(t: pa.Table) -> pa.Array:
+    """repo\\x00path\\x00sha256 as one binary column — bytewise order equals
+    the (repo, path, sha256) tuple order (separator below any content byte),
+    and single-column compares/sorts run ~3× faster than 3-key ones."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        t["repo"].combine_chunks(), t["path"].combine_chunks(),
+        t["sha256"].combine_chunks(), "\x00"
+    )
 
 
 @ray.remote
 def _sort_keys_single(*tables: pa.Table) -> pa.Table:
-    """Whole key table sorted in ONE task — used when the key table is small
-    enough that a distributed sample-sort's fixed rounds cost more than just
-    sorting it (keys are ~100 B/row; the threshold covers multi-million-row
-    corpora).  The distributed Ray Data sort remains the at-scale path."""
+    """Whole key table sorted in ONE task (smallest corpora)."""
+    import pyarrow.compute as pc
+
     t = pa.concat_tables(tables).combine_chunks()
-    order = pa.compute.sort_indices(
-        t,
-        sort_keys=[("repo", "ascending"), ("path", "ascending"), ("sha256", "ascending")],
+    return t.take(pc.sort_indices(_combined_key(t)))
+
+
+@ray.remote
+def _sample_keys(block: pa.Table, n: int) -> list[bytes]:
+    """Evenly spaced combined-key samples from one key block."""
+    import pyarrow.compute as pc
+
+    if len(block) == 0:
+        return []
+    idx = np.linspace(0, len(block) - 1, num=min(n, len(block)), dtype=np.int64)
+    return pc.binary_join_element_wise(
+        block["repo"].take(pa.array(idx)),
+        block["path"].take(pa.array(idx)),
+        block["sha256"].take(pa.array(idx)),
+        "\x00",
+    ).to_pylist()
+
+
+@ray.remote
+def _split_keys(block: pa.Table, bounds: list[bytes]) -> tuple:
+    """Scatter one key block into len(bounds)+1 boundary ranges via
+    vectorized string compares (partition id = Σ key > bound_i)."""
+    import pyarrow.compute as pc
+
+    P = len(bounds) + 1
+    if len(block) == 0:
+        out = block
+        return tuple(out for _ in range(P)) if P > 1 else out
+    ck = _combined_key(block)
+    part = np.zeros(len(block), dtype=np.int64)
+    for b in bounds:
+        part += pc.greater(ck, b).to_numpy(zero_copy_only=False).astype(np.int64)
+    outs = tuple(block.filter(pa.array(part == p)) for p in range(P))
+    return outs if P > 1 else outs[0]
+
+
+@ray.remote
+def _sort_range(*tables: pa.Table) -> pa.Table:
+    """Sort one boundary range (all rows ≤ its upper bound land here)."""
+    import pyarrow.compute as pc
+
+    t = pa.concat_tables(tables).combine_chunks()
+    if len(t) == 0:
+        return t
+    return t.take(pc.sort_indices(_combined_key(t)))
+
+
+def _sorted_key_blocks(key_refs: list, n_rows: int) -> list:
+    """Distributed sample sort of the key table: 2 task rounds (split by
+    sampled boundaries → per-range sort), no Ray Data sort machinery.
+    Boundaries come from deterministic evenly-spaced samples; they only
+    steer partitioning — final order and dedup are boundary-independent."""
+    n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    # ~300k keys per sort range; below one range, sorting in one task beats
+    # paying the sample/split round
+    P = max(1, min(n_cpus, round(n_rows / 300_000)))
+    if P <= 1:
+        return [_sort_keys_single.remote(*key_refs)]
+    samples = sorted(
+        s for part in ray.get([_sample_keys.remote(r, 32) for r in key_refs]) for s in part
     )
-    return t.take(order)
+    if not samples:
+        return [_sort_keys_single.remote(*key_refs)]
+    bounds = [samples[(i + 1) * len(samples) // P] for i in range(P - 1)]
+    bounds = sorted(set(bounds))
+    P = len(bounds) + 1
+    if P <= 1:
+        return [_sort_keys_single.remote(*key_refs)]
+    splits = [
+        _split_keys.options(num_returns=P).remote(r, bounds) for r in key_refs
+    ]
+    return [_sort_range.remote(*[s[p] for s in splits]) for p in range(P)]
 
-
-# key tables at or below this row count sort in one task
-SMALL_KEYSORT_ROWS = 4_000_000
 
 
 @ray.remote
@@ -239,23 +312,7 @@ def _winner_splits(block_refs: list, n_rows: int) -> tuple[list[list], int, int]
     returning ``(groups, span, n_docs)`` where ``groups[g]`` is the list of
     winner-triple refs for bid range [g*span, (g+1)*span)."""
     key_refs = [_extract_keys.remote(r, bid) for bid, r in enumerate(block_refs)]
-    if n_rows <= SMALL_KEYSORT_ROWS:
-        skey_refs = [_sort_keys_single.remote(*key_refs)]
-    else:
-        # keys only through the shuffle; pre-coalesce the tiny key blocks so
-        # the sort's all-to-all runs over ~sqrt-fewer partitions (each extra
-        # block costs map×reduce object transfers, key bytes are negligible)
-        n_sort_parts = max(4, min(64, (len(key_refs) + 7) // 8))
-        if len(key_refs) > n_sort_parts:
-            chunk = (len(key_refs) + n_sort_parts - 1) // n_sort_parts
-            key_refs = [
-                _concat_tables.remote(*key_refs[i : i + chunk])
-                for i in range(0, len(key_refs), chunk)
-            ]
-        keys_sorted = (
-            ray.data.from_arrow_refs(key_refs).sort(["repo", "path", "sha256"]).materialize()
-        )
-        skey_refs = _bundle_refs(keys_sorted)
+    skey_refs = _sorted_key_blocks(key_refs, n_rows)
     meta = ray.get([_key_block_meta.remote(r) for r in skey_refs])
     # order blocks by first (repo, path, sha) — sort output blocks are key
     # ranges, so this reconstructs the global order from metadata alone
