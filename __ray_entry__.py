@@ -116,7 +116,13 @@ df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
 """
 
 
-def _bm25_sql(terms: list[str], k: int, must_all: bool = False, lang_eq: str | None = None) -> str:
+def _bm25_sql(
+    terms: list[str],
+    k: int,
+    must_all: bool = False,
+    lang_eq: str | None = None,
+    path_prefix: str | None = None,
+) -> str:
     """BM25 top-k SQL over the derived corpus (exact engine formula:
     k1=1.2, b=0.75, idf=ln(1+(N-df+0.5)/(df+0.5)))."""
     vals = ", ".join("('" + t + "')" for t in terms)
@@ -126,6 +132,12 @@ def _bm25_sql(terms: list[str], k: int, must_all: bool = False, lang_eq: str | N
     if lang_eq is not None:
         lang_join = f"JOIN ids ON ids.doc_id = tf.doc_id AND ids.lang = '{lang_eq}'"
         extra_score = " + 1.0"
+    if path_prefix is not None:
+        lang_join += (
+            f" JOIN ids AS idp ON idp.doc_id = tf.doc_id"
+            f" AND idp.path LIKE '{path_prefix}%'"
+        )
+        extra_score += " + 1.0"
     return f"""
 {_BASE_CTE},
 qterms(term) AS (VALUES {vals}),
@@ -226,9 +238,18 @@ def _q_match_scatter(sf_dir: str, text: str, k: int) -> pa.Table:
     return _rounded_rank(out.select(["rank", "doc_id", "score"]), k)
 
 
-def _q_bool_must(sf_dir: str, terms: list[str], k: int, lang_eq: str | None = None) -> pa.Table:
+def _q_bool_must(
+    sf_dir: str,
+    terms: list[str],
+    k: int,
+    lang_eq: str | None = None,
+    path_prefix: str | None = None,
+) -> pa.Table:
     kw = [("lang", lang_eq)] if lang_eq else None
-    return _rounded_rank(_engine(sf_dir).bool_must(terms, k=10**9, keyword_eq=kw), k)
+    kp = [("path", path_prefix)] if path_prefix else None
+    return _rounded_rank(
+        _engine(sf_dir).bool_must(terms, k=10**9, keyword_eq=kw, keyword_prefix=kp), k
+    )
 
 
 def _q_prefix_keyword(sf_dir: str) -> pa.Table:
@@ -297,6 +318,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_scatter": lambda sf: _q_match_scatter(sf, "row part hash", 10),
         "bool_must2": lambda sf: _q_bool_must(sf, ["fast", "slow"], 10),
         "bool_must_lang": lambda sf: _q_bool_must(sf, ["table"], 10, lang_eq="en"),
+        # the reference's exact dedup-probe shape: prefix + two more must
+        # clauses (elasticsearch_utils.py:111-119)
+        "bool_must_ref_probe": lambda sf: _q_bool_must(
+            sf, ["merge"], 10, lang_eq="en", path_prefix="docs/en/"
+        ),
         "prefix_keyword": _q_prefix_keyword,
         "prefix_content_df": _q_prefix_content_df,
         "hits_total": _q_hits_total,
@@ -350,6 +376,9 @@ FROM stats s
         "match_scatter": _bm25_sql(["row", "part", "hash"], 10),
         "bool_must2": _bm25_sql(["fast", "slow"], 10, must_all=True),
         "bool_must_lang": _bm25_sql(["table"], 10, must_all=True, lang_eq="en"),
+        "bool_must_ref_probe": _bm25_sql(
+            ["merge"], 10, must_all=True, lang_eq="en", path_prefix="docs/en/"
+        ),
         "prefix_keyword": f"""
 {_BASE_CTE}
 SELECT doc_id, repo, path FROM ids WHERE path LIKE 'docs/en/%'
