@@ -49,12 +49,6 @@ import ray.data
 from librecatastro_ray.functions.hashing import sha256_batch
 
 
-def add_sha(batch: pa.Table) -> pa.Table:
-    """map_batches (stateless task): append sha256(content), the row-invariant
-    column (BASELINE.json input_hint: per-row content sha256 equality)."""
-    return batch.append_column("sha256", sha256_batch(batch["content"]))
-
-
 def add_sha_dl(batch: pa.Table) -> pa.Table:
     """map_batches (stateless task): append sha256(content) and the token
     count ``dl`` in ONE pass over the corpus — the doc-store row is complete
