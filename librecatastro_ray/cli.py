@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     i = sub.add_parser("info", help="print the index manifest summary")
     i.add_argument("--index", required=True)
 
+    ls = sub.add_parser("list", help="distinct values of a keyword column "
+                        "(the reference's --listprovinces/--listcities analogue)")
+    ls.add_argument("--index", required=True)
+    ls.add_argument("--field", default="repo", choices=["repo", "lang", "commit"])
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -111,6 +116,16 @@ def main(argv: list[str] | None = None) -> int:
                 "score": round(row["score"], 6),
                 "repo": h.get("repo"), "path": h.get("path"),
             }))
+        return 0
+
+    if args.cmd == "list":
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(os.path.join(args.index, "docs"), format="parquet").to_table(
+            columns=[args.field]
+        )
+        for v in sorted(set(t[args.field].to_pylist())):
+            print(v)
         return 0
 
     if args.cmd == "drop":

@@ -118,3 +118,15 @@ def test_docs_phase_block_level_resume(tmp_path):
     assert os.path.getmtime(survivor) == mtime_before, "survivor was rewritten"
     got = QueryEngine(crash_dir).match("def", 10).to_pylist()
     assert got == ref
+
+
+def test_independent_builds_are_byte_identical(tmp_path):
+    """Two from-scratch builds of the same corpus produce identical
+    manifests (incl. per-partition output sha256) — full determinism, the
+    property that makes retry/resume safe at any granularity."""
+    corpus = make_corpus(n_docs=300, seed=13, vocab_size=400, mean_tokens=35)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(corpus, a, _cfg())
+    build_index(corpus, b, _cfg())
+    ma, mb = load_manifest(a), load_manifest(b)
+    assert json.dumps(ma, sort_keys=True) == json.dumps(mb, sort_keys=True)
