@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-AMPLIFY = int(os.environ.get("LCRAY_BENCH_AMPLIFY", "20"))
+AMPLIFY = int(os.environ.get("LCRAY_BENCH_AMPLIFY", "120"))
 WORK_ROOT = os.environ.get("LCRAY_BENCH_DIR", "/tmp/lcray_bench")
 
 
