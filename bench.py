@@ -138,7 +138,7 @@ def run_bench() -> dict:
     # the hot working set; doc-range scatter-gather (each task touches 1/R of
     # the postings) once the corpus outgrows that — the at-scale serving path
     queries = make_query_set(int(os.environ.get("LCRAY_BENCH_QUERIES", "4000")))
-    scatter_min = int(os.environ.get("LCRAY_SCATTER_MIN_DOCS", "1000000"))
+    scatter_min = int(os.environ.get("LCRAY_SCATTER_MIN_DOCS", "300000"))
     t0 = time.monotonic()
     if n_docs >= scatter_min:
         from librecatastro_ray.pipelines.query import batch_search_scatter
