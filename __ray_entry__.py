@@ -68,15 +68,19 @@ def _docstats_table(sf_dir: str) -> pa.Table:
     )
 
 
-def _rounded_rank(t: pa.Table, k: int) -> pa.Table:
+def _rounded_rank(t: pa.Table, k: int, offset: int = 0) -> pa.Table:
     """Re-rank a scored result by (round(score, 6) desc, doc_id asc) — the
-    float-noise-insensitive ordering shared with the SQL oracle."""
+    float-noise-insensitive ordering shared with the SQL oracle.  ``offset``
+    is ES ``from`` pagination: skip the first ``offset`` ranks but keep the
+    GLOBAL rank numbers."""
     scores = np.round(t["score"].to_numpy(), 6)
     docs = t["doc_id"].to_numpy()
-    order = np.lexsort((docs, -scores))[:k]
+    order = np.lexsort((docs, -scores))[offset : offset + k]
     return pa.table(
         {
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            "rank": pa.array(
+                np.arange(offset + 1, offset + len(order) + 1, dtype=np.int64), pa.int64()
+            ),
             "doc_id": pa.array(docs[order], pa.int64()),
             "score": pa.array(scores[order], pa.float64()),
         }
@@ -122,11 +126,27 @@ def _bm25_sql(
     must_all: bool = False,
     lang_eq: str | None = None,
     path_prefix: str | None = None,
+    must_not: list[str] | None = None,
+    should: list[str] | None = None,
+    offset: int = 0,
 ) -> str:
     """BM25 top-k SQL over the derived corpus (exact engine formula:
-    k1=1.2, b=0.75, idf=ln(1+(N-df+0.5)/(df+0.5)))."""
-    vals = ", ".join("('" + t + "')" for t in terms)
-    having = f"HAVING count(*) = {len(terms)}" if must_all else ""
+    k1=1.2, b=0.75, idf=ln(1+(N-df+0.5)/(df+0.5))).  ``should`` terms score
+    but aren't required (is_must=0); ``must_not`` terms exclude docs;
+    ``offset`` pages with global rank numbers (ES ``from``)."""
+    must_not = must_not or []
+    should = should or []
+    vals = ", ".join("('" + t + "', 1)" for t in terms)
+    if should:
+        vals += ", " + ", ".join("('" + t + "', 0)" for t in should)
+    having = f"HAVING sum(q_is_must) = {len(terms)}" if must_all else ""
+    not_filter = ""
+    if must_not:
+        not_filter = (
+            " WHERE tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ("
+            + _sql_list(must_not)
+            + "))"
+        )
     extra_score = ""
     lang_join = ""
     if lang_eq is not None:
@@ -140,9 +160,9 @@ def _bm25_sql(
         extra_score += " + 1.0"
     return f"""
 {_BASE_CTE},
-qterms(term) AS (VALUES {vals}),
+qterms(term, q_is_must) AS (VALUES {vals}),
 contrib AS (
-    SELECT tf.doc_id,
+    SELECT tf.doc_id, q.q_is_must,
            ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
              * (tf.tf * (1.2 + 1.0))
              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
@@ -152,6 +172,7 @@ contrib AS (
     JOIN dl ON dl.doc_id = tf.doc_id
     {lang_join}
     CROSS JOIN stats s
+    {not_filter}
 ),
 scores AS (SELECT doc_id, sum(c){extra_score} AS score, count(*) AS nt
            FROM contrib GROUP BY doc_id {having})
@@ -159,7 +180,7 @@ SELECT rank, doc_id, score FROM (
     SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank,
            doc_id, round(score, 6) AS score
     FROM scores
-) WHERE rank <= {k}
+) WHERE rank > {offset} AND rank <= {offset + k}
 """
 
 
@@ -244,12 +265,44 @@ def _q_bool_must(
     k: int,
     lang_eq: str | None = None,
     path_prefix: str | None = None,
+    must_not: list[str] | None = None,
+    should: list[str] | None = None,
 ) -> pa.Table:
     kw = [("lang", lang_eq)] if lang_eq else None
     kp = [("path", path_prefix)] if path_prefix else None
     return _rounded_rank(
-        _engine(sf_dir).bool_must(terms, k=10**9, keyword_eq=kw, keyword_prefix=kp), k
+        _engine(sf_dir).bool_must(
+            terms, k=10**9, keyword_eq=kw, keyword_prefix=kp,
+            must_not_terms=must_not, should_terms=should,
+        ),
+        k,
     )
+
+
+def _q_match_from(sf_dir: str, text: str, k: int, offset: int) -> pa.Table:
+    """Pagination probe: the engine computes top (from+k) and slices; the
+    rounded re-rank applies the same offset (reference sends "from":0 on
+    every query, elasticsearch_utils.py:121 — this is the non-zero page)."""
+    return _rounded_rank(_engine(sf_dir).match(text, k=10**9), k, offset=offset)
+
+
+def _q_bool_probe_scatter(sf_dir: str) -> pa.Table:
+    """The reference's 3-clause dedup-probe shape (match + lang keyword +
+    path prefix, elasticsearch_utils.py:111-119) served through the
+    scatter-gather path — keyword clauses plumbed through range tasks."""
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    eng = _engine(sf_dir)
+    out = batch_search_scatter(
+        eng.index_dir,
+        [{
+            "query_id": 0, "kind": "bool_must", "must_terms": ["merge"],
+            "keyword_eq": [["lang", "en"]], "keyword_prefix": [["path", "docs/en/"]],
+            "k": 10**9,
+        }],
+        n_ranges=4,
+    )
+    return _rounded_rank(out.select(["rank", "doc_id", "score"]), 10)
 
 
 def _q_prefix_keyword(sf_dir: str) -> pa.Table:
@@ -314,15 +367,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_single": lambda sf: _q_match(sf, "table", 10),
         "match_multi": lambda sf: _q_match(sf, "key value table part", 10),
         "match_k1": lambda sf: _q_match(sf, "value", 1),
+        "match_from": lambda sf: _q_match_from(sf, "table value", 10, 5),
         "match_wand": lambda sf: _q_match_wand(sf, "key value table", 10),
         "match_scatter": lambda sf: _q_match_scatter(sf, "row part hash", 10),
         "bool_must2": lambda sf: _q_bool_must(sf, ["fast", "slow"], 10),
         "bool_must_lang": lambda sf: _q_bool_must(sf, ["table"], 10, lang_eq="en"),
+        "bool_must_not": lambda sf: _q_bool_must(sf, ["table"], 10, must_not=["slow"]),
+        "bool_should": lambda sf: _q_bool_must(
+            sf, ["table"], 10, should=["fast", "merge"]
+        ),
         # the reference's exact dedup-probe shape: prefix + two more must
         # clauses (elasticsearch_utils.py:111-119)
         "bool_must_ref_probe": lambda sf: _q_bool_must(
             sf, ["merge"], 10, lang_eq="en", path_prefix="docs/en/"
         ),
+        "bool_must_ref_probe_scatter": _q_bool_probe_scatter,
         "prefix_keyword": _q_prefix_keyword,
         "prefix_content_df": _q_prefix_content_df,
         "hits_total": _q_hits_total,
@@ -372,11 +431,19 @@ FROM stats s
         "match_single": _bm25_sql(["table"], 10),
         "match_multi": _bm25_sql(["key", "value", "table", "part"], 10),
         "match_k1": _bm25_sql(["value"], 1),
+        "match_from": _bm25_sql(["table", "value"], 10, offset=5),
         "match_wand": _bm25_sql(["key", "value", "table"], 10),
         "match_scatter": _bm25_sql(["row", "part", "hash"], 10),
         "bool_must2": _bm25_sql(["fast", "slow"], 10, must_all=True),
         "bool_must_lang": _bm25_sql(["table"], 10, must_all=True, lang_eq="en"),
+        "bool_must_not": _bm25_sql(["table"], 10, must_all=True, must_not=["slow"]),
+        "bool_should": _bm25_sql(
+            ["table"], 10, must_all=True, should=["fast", "merge"]
+        ),
         "bool_must_ref_probe": _bm25_sql(
+            ["merge"], 10, must_all=True, lang_eq="en", path_prefix="docs/en/"
+        ),
+        "bool_must_ref_probe_scatter": _bm25_sql(
             ["merge"], 10, must_all=True, lang_eq="en", path_prefix="docs/en/"
         ),
         "prefix_keyword": f"""

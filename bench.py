@@ -84,21 +84,40 @@ def make_query_set(n: int = 200) -> list[dict]:
         "table", "value", "key", "part", "row", "fast", "slow", "hash", "agg",
         "scan", "merge", "batch", "sort", "window", "line", "spark", "the", "a",
     ]
+    langs = ["en", "es", "de", "fr"]
     qs = []
     for i in range(n):
-        kind = ["match", "match", "match", "bool_must", "prefix_content"][i % 5]
+        base = {"query_id": i, "kind": "", "text": "", "must_terms": [], "prefix": "",
+                "keyword_eq": [], "keyword_prefix": [], "must_not_terms": [],
+                "should_terms": [], "k": 10, "from": 0}
+        kind = ["match", "match", "match", "bool_must", "prefix_content",
+                "match", "bool_must", "match", "bool_kw_probe", "bool_must"][i % 10]
         if kind == "match":
             nterms = 1 + (i % 3)
             terms = [vocab[(i * 7 + j * 3) % len(vocab)] for j in range(nterms)]
-            qs.append({"query_id": i, "kind": "match", "text": " ".join(terms),
-                       "must_terms": [], "prefix": "", "k": 10})
+            base.update(kind="match", text=" ".join(terms))
+            if i % 20 == 5:
+                base["from"] = 10  # pagination: second page
         elif kind == "bool_must":
             terms = [vocab[(i * 5) % len(vocab)], vocab[(i * 11 + 1) % len(vocab)]]
-            qs.append({"query_id": i, "kind": "bool_must", "text": "",
-                       "must_terms": list(dict.fromkeys(terms)), "prefix": "", "k": 10})
+            base.update(kind="bool_must", must_terms=list(dict.fromkeys(terms)))
+            if i % 30 == 9:
+                base["must_not_terms"] = [vocab[(i * 13 + 2) % len(vocab)]]
+            if i % 30 == 19:
+                base["should_terms"] = [vocab[(i * 17 + 3) % len(vocab)]]
+        elif kind == "bool_kw_probe":
+            # the reference's 3-clause dedup-probe shape (match + keyword eq +
+            # keyword prefix, elasticsearch_utils.py:111-119)
+            lang = langs[i % len(langs)]
+            base.update(
+                kind="bool_must",
+                must_terms=[vocab[(i * 5) % len(vocab)]],
+                keyword_eq=[["lang", lang]],
+                keyword_prefix=[["path", f"docs/{lang}/"]],
+            )
         else:
-            qs.append({"query_id": i, "kind": "prefix_content", "text": "",
-                       "must_terms": [], "prefix": vocab[i % len(vocab)][:2], "k": 10})
+            base.update(kind="prefix_content", prefix=vocab[i % len(vocab)][:2])
+        qs.append(base)
     return qs
 
 

@@ -58,11 +58,19 @@ def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     k = min(k, n)
     if n > 4 * k:
-        # pre-select a superset by score only, then exact-sort it
-        part = np.argpartition(-scores, k - 1)[: max(k * 2, k)]
-        # include all ties with the k-th score to keep the tiebreak exact
-        kth = np.partition(-scores, k - 1)[k - 1]
-        part = np.nonzero(scores >= -kth)[0]
+        # pre-select by score: everything >= the k-th score (ties included so
+        # the (score desc, doc_id asc) tiebreak stays exact)
+        kth = np.partition(scores, n - k)[n - k]
+        part = np.nonzero(scores >= kth)[0]
+        if len(part) > max(4 * k, 4096):
+            # degenerate tie plateau (constant-score queries: every doc ties
+            # at kth) — among the tied, the k smallest doc_ids win, so
+            # partition doc_ids instead of lexsorting the whole plateau
+            above = part[scores[part] > kth]
+            tied = part[scores[part] == kth]
+            need = k - len(above)
+            tsel = tied[np.argpartition(doc_ids[tied], need - 1)[:need]]
+            part = np.concatenate([above, tsel])
     else:
         part = np.arange(n)
     order = np.lexsort((doc_ids[part], -scores[part]))

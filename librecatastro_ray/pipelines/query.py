@@ -60,6 +60,19 @@ def _empty_result() -> pa.Table:
 DENSE_ACC_LIMIT = 8 << 20
 
 
+def _prefix_upper_bound(value: str) -> str | None:
+    """Smallest string greater than every string with prefix ``value`` under
+    code-point order (bumps the last bumpable character, skipping the
+    surrogate range).  None when no finite bound exists."""
+    for i in range(len(value) - 1, -1, -1):
+        c = ord(value[i])
+        if c >= 0x10FFFF:
+            continue
+        nxt = 0xE000 if c + 1 == 0xD800 else c + 1
+        return value[:i] + chr(nxt)
+    return None
+
+
 def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Intersection of two sorted unique int64 arrays via searchsorted —
     O(min·log max), no np.isin sort."""
@@ -81,6 +94,25 @@ def _in_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     return sorted_set[idx] == values
 
 
+def _binary_payload(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Concatenated cell payloads of a binary column as a uint8 view — zero
+    copy per chunk.  By the Arrow layout, cell i of a BinaryArray occupies
+    ``data[offsets[i]:offsets[i+1]]``, so the row-order concatenation of all
+    cells is exactly ``data[offsets[0]:offsets[n]]`` (no per-cell Python
+    objects, unlike ``b"".join(col.to_pylist())``)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts: list[np.ndarray] = []
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        offs = np.frombuffer(c.buffers()[1], dtype=np.int32, count=c.offset + len(c) + 1)
+        data = np.frombuffer(c.buffers()[2], dtype=np.uint8) if c.buffers()[2] is not None else np.zeros(0, np.uint8)
+        parts.append(data[offs[c.offset] : offs[c.offset + len(c)]])
+    if not parts:
+        return np.zeros(0, dtype=np.uint8)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
 def decode_blocks_table(bt: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized decode of a set of posting blocks: one varbyte pass over the
     concatenated buffers, then a segmented cumsum to rebuild absolute doc ids
@@ -89,13 +121,13 @@ def decode_blocks_table(bt: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarra
     if len(n) == 0 or int(n.sum()) == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    gaps = varbyte_decode(b"".join(bt["docs"].to_pylist())).astype(np.int64)
+    gaps = varbyte_decode(_binary_payload(bt["docs"])).astype(np.int64)
     starts = np.concatenate([[0], np.cumsum(n)[:-1]])
     cs = np.cumsum(gaps)
     seg_base = cs[starts] - gaps[starts]
     docs = cs - np.repeat(seg_base, n)
-    tfs = varbyte_decode(b"".join(bt["tfs"].to_pylist())).astype(np.int64)
-    dls = varbyte_decode(b"".join(bt["dls"].to_pylist())).astype(np.int64)
+    tfs = varbyte_decode(_binary_payload(bt["tfs"])).astype(np.int64)
+    dls = varbyte_decode(_binary_payload(bt["dls"])).astype(np.int64)
     return docs, tfs, dls
 
 
@@ -128,6 +160,7 @@ class QueryEngine:
         self._blockmeta_cache: dict[tuple[str, int], tuple | None] = {}
         self._prefix_cache: dict[str, list[str]] = {}
         self._df_maps: dict[tuple[int, int], dict[str, int]] = {}
+        self._keyword_cache: dict[tuple[str, str, bool], np.ndarray] = {}
 
     # ---------------- internals ----------------
 
@@ -282,11 +315,18 @@ class QueryEngine:
         sums = np.bincount(inv, weights=all_scores, minlength=len(uniq))
         return uniq, sums
 
-    def _topk_table(self, docs: np.ndarray, scores: np.ndarray, k: int) -> pa.Table:
-        sel = topk_indices(scores, docs, k)
+    def _topk_table(
+        self, docs: np.ndarray, scores: np.ndarray, k: int, offset: int = 0
+    ) -> pa.Table:
+        """Top-k with pagination: select the top ``offset + k``, return rows
+        offset+1..offset+k with their GLOBAL rank numbers (ES ``from``/
+        ``size`` semantics, reference: elasticsearch_utils.py:121)."""
+        sel = topk_indices(scores, docs, offset + k)[offset:]
         return pa.table(
             {
-                "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64), pa.int64()),
+                "rank": pa.array(
+                    np.arange(offset + 1, offset + len(sel) + 1, dtype=np.int64), pa.int64()
+                ),
                 "doc_id": pa.array(docs[sel], pa.int64()),
                 "score": pa.array(scores[sel], pa.float64()),
             }
@@ -301,8 +341,9 @@ class QueryEngine:
 
     # ---------------- query surface ----------------
 
-    def match(self, text: str, k: int = 10) -> pa.Table:
-        """Q1+Q4: analyzed BM25 match, top-k (rank, doc_id, score)."""
+    def match(self, text: str, k: int = 10, offset: int = 0) -> pa.Table:
+        """Q1+Q4: analyzed BM25 match, top-k (rank, doc_id, score); ``offset``
+        is ES ``from`` pagination (skip the first ``offset`` ranks)."""
         terms = tokenize(text)
         if self.n_docs <= DENSE_ACC_LIMIT:
             # dense scatter-add: O(total postings), no sort; per-doc additions
@@ -317,7 +358,7 @@ class QueryEngine:
             if not any_hit:
                 return _empty_result()
             docs = np.nonzero(acc)[0].astype(np.int64)
-            return self._topk_table(docs, acc[docs], k)
+            return self._topk_table(docs, acc[docs], k, offset)
         doc_arrays, score_arrays = [], []
         for term in terms:
             d, s = self._term_contribution(term)
@@ -325,7 +366,7 @@ class QueryEngine:
                 doc_arrays.append(d)
                 score_arrays.append(s)
         docs, scores = self._accumulate(doc_arrays, score_arrays)
-        return self._topk_table(docs, scores, k)
+        return self._topk_table(docs, scores, k, offset)
 
     def match_wand(self, text: str, k: int = 10) -> pa.Table:
         """Q1+Q4 via block-max pruning (the WAND family, north_star): exact
@@ -480,12 +521,20 @@ class QueryEngine:
         k: int = 10,
         keyword_eq: list[tuple[str, str]] | None = None,
         keyword_prefix: list[tuple[str, str]] | None = None,
+        must_not_terms: list[str] | None = None,
+        should_terms: list[str] | None = None,
+        offset: int = 0,
     ) -> pa.Table:
-        """Q3: conjunction.  Content clauses are BM25-scored; keyword clauses
-        are constant-score 1.0 (ES filter-context rewrite).  Uses block-level
-        skipping: after the rarest clause fixes the candidate set, other
-        clauses only decode blocks whose doc range intersects it."""
-        if not content_terms and not keyword_eq and not keyword_prefix:
+        """Q3: full bool query (reference: elasticsearch_utils.py:111-119 —
+        the probe always carries must / should / must_not arrays, the latter
+        two empty).  ``must`` content clauses are BM25-scored conjunctions;
+        keyword clauses are constant-score 1.0 (ES filter-context rewrite);
+        ``must_not`` terms exclude docs (sorted-set difference, no score);
+        ``should`` terms add BM25 score to already-matching docs (pure-should
+        queries fall back to OR semantics, minimum_should_match=1).  Uses
+        block-level skipping: after the rarest clause fixes the candidate
+        set, other clauses only decode blocks whose doc range intersects it."""
+        if not content_terms and not keyword_eq and not keyword_prefix and not should_terms:
             return _empty_result()
 
         dense = self.n_docs <= DENSE_ACC_LIMIT
@@ -507,49 +556,83 @@ class QueryEngine:
                 n_cand = len(candidate)
             return n_cand
 
+        def exclude(docs: np.ndarray) -> int:
+            """Remove ``docs`` (sorted) from the candidate set."""
+            nonlocal candidate, cand_flags, n_cand
+            if dense:
+                cand_flags[docs] = False
+                n_cand = int(np.count_nonzero(cand_flags))
+            else:
+                candidate = candidate[~_in_sorted(candidate, docs)]
+                n_cand = len(candidate)
+            return n_cand
+
         def cand_array() -> np.ndarray:
             if dense:
                 return np.nonzero(cand_flags)[0].astype(np.int64)
             return candidate
 
-        doc_arrays, score_arrays = [], []
+        # --- phase 1: fix the candidate set (all shrinking before scoring) --
         # evaluate content terms rarest-first for candidate shrinking, but
-        # ACCUMULATE in clause order for float-sum identity with the oracle
+        # ACCUMULATE (later) in clause order for float-sum identity with the
+        # oracle
         infos = [(term, self.term_df(term)) for term in content_terms]
         for term, df in sorted(infos, key=lambda x: x[1]):
             if df == 0:
                 return _empty_result()
-            docs, tfs, dls = self._postings_for_candidates(term, df, cand_array, n_cand)
+            docs, _tfs, _dls = self._postings_for_candidates(term, df, cand_array, n_cand)
             if shrink(docs) == 0:
                 return _empty_result()
-        # now score in clause order over the final candidate set
+        kw_docs: list[np.ndarray] = []
+        for prefix_flag, clauses in ((False, keyword_eq), (True, keyword_prefix)):
+            for field_name, value in clauses or []:
+                d = self.keyword_docs(field_name, value, prefix=prefix_flag)
+                kw_docs.append(d)
+                if shrink(d) == 0:
+                    return _empty_result()
+        if n_cand < 0:
+            # pure-should query: OR over the should terms
+            u = self._union_docs(list(should_terms or []))
+            if u is None:
+                return _empty_result()
+            shrink(u)
+        for term in must_not_terms or []:
+            d, _f, _L = self.load_postings(term)
+            if len(d) and exclude(d) == 0:
+                return _empty_result()
+        if n_cand <= 0:
+            return _empty_result()
+
+        # --- phase 2: score over the final candidate set, clause order -----
+        final = cand_array()
+        doc_arrays, score_arrays = [], []
         for term, df in infos:
             docs, tfs, dls = self._postings_for_candidates(term, df, cand_array, n_cand)
-            mask = cand_flags[docs] if dense else _in_sorted(docs, cand_array())
+            mask = cand_flags[docs] if dense else _in_sorted(docs, final)
             w = float(idf_fn(df, self.n_docs))
             contrib = w * tf_norm(tfs[mask], dls[mask], self.avgdl, self.config.k1, self.config.b)
             doc_arrays.append(docs[mask])
             score_arrays.append(contrib)
-        for prefix_flag, clauses in ((False, keyword_eq), (True, keyword_prefix)):
-            for field_name, value in clauses or []:
-                d = self.keyword_docs(field_name, value, prefix=prefix_flag)
-                if shrink(d) == 0:
-                    return _empty_result()
-                doc_arrays.append(d)
-                score_arrays.append(np.ones(len(d), dtype=np.float64))
-        if n_cand <= 0:
-            return _empty_result()
-        final = cand_array()
+        for d in kw_docs:
+            doc_arrays.append(d)
+            score_arrays.append(np.ones(len(d), dtype=np.float64))
+        for term in should_terms or []:
+            d, s = self._term_contribution(term)
+            if len(d) == 0:
+                continue
+            mask = cand_flags[d] if dense else _in_sorted(d, final)
+            doc_arrays.append(d[mask])
+            score_arrays.append(s[mask])
         if dense:
             # the candidate set IS the final doc set — dense scatter-add in
             # clause order, then one gather; no sort/unique round
             acc = np.zeros(self.n_docs, dtype=np.float64)
             for d, s in zip(doc_arrays, score_arrays):
                 acc[d] += s
-            return self._topk_table(final, acc[final], k)
+            return self._topk_table(final, acc[final], k, offset)
         docs, scores = self._accumulate(doc_arrays, score_arrays)
         keep = _in_sorted(docs, final)
-        return self._topk_table(docs[keep], scores[keep], k)
+        return self._topk_table(docs[keep], scores[keep], k, offset)
 
     def _postings_for_candidates(
         self, term: str, df: int, cand_provider, n_cand: int
@@ -740,17 +823,31 @@ class QueryEngine:
 
     def keyword_docs(self, field_name: str, value: str, prefix: bool = False) -> np.ndarray:
         """Exact / prefix match on a keyword column (repo, path, lang,
-        commit) via parquet predicate pushdown over docstats."""
+        commit) via parquet predicate pushdown over docstats.  Cached per
+        (field, value, prefix): batch workloads repeat the same keyword
+        clauses, and the scatter serving path slices one global answer per
+        range instead of re-reading docstats per range task."""
+        ck = (field_name, value, prefix)
+        cached = self._keyword_cache.get(ck)
+        if cached is not None:
+            return cached
         ds = self._docstats_ds()
         if prefix:
-            # coarse pushdown range + exact refine
-            f = (pads.field(field_name) >= value)
+            # bounded pushdown range [value, upper) + exact refine — without
+            # the upper bound a short prefix scans most of docstats
+            f = pads.field(field_name) >= value
+            ub = _prefix_upper_bound(value)
+            if ub is not None:
+                f = f & (pads.field(field_name) < ub)
             t = ds.to_table(columns=["doc_id", field_name], filter=f)
             m = pc.starts_with(t[field_name], value)
             t = t.filter(m)
         else:
             t = ds.to_table(columns=["doc_id"], filter=pads.field(field_name) == value)
-        return np.sort(t["doc_id"].to_numpy())
+        out = np.sort(t["doc_id"].to_numpy())
+        if len(self._keyword_cache) < 10_000:
+            self._keyword_cache[ck] = out
+        return out
 
     def hydrate(self, doc_ids: np.ndarray | list[int]) -> pa.Table:
         """Forward-index lookup: docstats rows for result doc ids (the
@@ -784,10 +881,19 @@ class SearchActor:
             qid = row["query_id"]
             kind = row["kind"]
             k = int(row.get("k") or 10)
+            offset = int(row.get("from") or 0)
             if kind == "match":
-                res = self.engine.match(row["text"], k)
+                res = self.engine.match(row["text"], k, offset=offset)
             elif kind == "bool_must":
-                res = self.engine.bool_must(list(row["must_terms"]), k)
+                res = self.engine.bool_must(
+                    list(row["must_terms"]),
+                    k,
+                    keyword_eq=[tuple(p) for p in row.get("keyword_eq") or []],
+                    keyword_prefix=[tuple(p) for p in row.get("keyword_prefix") or []],
+                    must_not_terms=list(row.get("must_not_terms") or []),
+                    should_terms=list(row.get("should_terms") or []),
+                    offset=offset,
+                )
             elif kind == "prefix_content":
                 res = self.engine.prefix_content(row["prefix"], k)
             elif kind == "count":
@@ -936,16 +1042,64 @@ class RangeEngine:
         sel = topk_indices(acc[docs - self.lo], docs, k)
         return docs[sel], acc[docs - self.lo][sel]
 
-    def bool_must(self, terms: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    def _keyword_range(self, field_name: str, value: str, prefix: bool) -> np.ndarray:
+        """Keyword clause docs restricted to [lo, hi) — the global answer is
+        computed (and cached) ONCE per worker process by the shared engine;
+        each range task slices its span with two searchsorteds instead of
+        re-reading docstats per range."""
+        d = self.eng.keyword_docs(field_name, value, prefix=prefix)
+        i, j = np.searchsorted(d, (self.lo, self.hi))
+        return d[i:j]
+
+    def bool_must(
+        self,
+        terms: list[str],
+        k: int,
+        keyword_eq: list[tuple[str, str]] | None = None,
+        keyword_prefix: list[tuple[str, str]] | None = None,
+        must_not_terms: list[str] | None = None,
+        should_terms: list[str] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full bool query over the range: per-doc scores equal the global
+        engine's exactly (contributions use GLOBAL df/avgdl), so partials
+        merge into the global top-k without re-scoring."""
         acc = self._acc()
         nt = np.zeros(self.hi - self.lo, dtype=np.int32)
+        n_clauses = 0
         for term in terms:
             d, s = self._contribution_range(term)
             if len(d) == 0:
                 return self._EMPTY
             acc[d - self.lo] += s
             nt[d - self.lo] += 1
-        cand = np.nonzero(nt == len(terms))[0]
+            n_clauses += 1
+        for prefix_flag, clauses in ((False, keyword_eq), (True, keyword_prefix)):
+            for field_name, value in clauses or []:
+                d = self._keyword_range(field_name, value, prefix_flag)
+                if len(d) == 0:
+                    return self._EMPTY
+                acc[d - self.lo] += 1.0
+                nt[d - self.lo] += 1
+                n_clauses += 1
+        should_hit = None
+        if should_terms:
+            should_hit = np.zeros(self.hi - self.lo, dtype=bool)
+            for term in should_terms:
+                d, s = self._contribution_range(term)
+                if len(d):
+                    acc[d - self.lo] += s
+                    should_hit[d - self.lo] = True
+        if n_clauses > 0:
+            ok = nt == n_clauses
+        elif should_hit is not None:
+            ok = should_hit  # pure-should: OR semantics
+        else:
+            return self._EMPTY
+        for term in must_not_terms or []:
+            d, _f, _L = self._postings_range(term)
+            if len(d):
+                ok[d - self.lo] = False
+        cand = np.nonzero(ok)[0]
         if len(cand) == 0:
             return self._EMPTY
         docs = cand.astype(np.int64) + self.lo
@@ -1019,11 +1173,19 @@ def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_c
         rng = RangeEngine(index_dir, lo, hi)
         for q in json.loads(row["queries_json"]):
             qid, kind = q["query_id"], q["kind"]
-            k = int(q.get("k") or 10)
+            # ranges return the top (from + k); the merge slices the offset
+            k = int(q.get("k") or 10) + int(q.get("from") or 0)
             if kind == "match":
                 docs, scores = rng.match(q["text"], min(k, k_cap))
             elif kind == "bool_must":
-                docs, scores = rng.bool_must(list(q["must_terms"]), min(k, k_cap))
+                docs, scores = rng.bool_must(
+                    list(q["must_terms"]),
+                    min(k, k_cap),
+                    keyword_eq=[tuple(p) for p in q.get("keyword_eq") or []],
+                    keyword_prefix=[tuple(p) for p in q.get("keyword_prefix") or []],
+                    must_not_terms=list(q.get("must_not_terms") or []),
+                    should_terms=list(q.get("should_terms") or []),
+                )
             elif kind == "prefix_content":
                 docs, _n = rng.prefix_union(q["prefix"])
                 docs = docs[: min(k, k_cap)]  # constant score → lowest ids win
@@ -1065,9 +1227,10 @@ def _merge_query_group(group: pa.Table) -> pa.Table:
     docs = group["doc_id"].to_numpy().astype(np.int64)
     scores = group["score"].to_numpy()
     k = int(group["k"][0].as_py()) if "k" in group.column_names else 10
-    sel = topk_indices(scores, docs, k)
+    frm = int(group["from"][0].as_py()) if "from" in group.column_names else 0
+    sel = topk_indices(scores, docs, frm + k)[frm:]
     return pa.table({"query_id": pa.array(np.full(len(sel), qid, dtype=np.int64)),
-                     "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+                     "rank": pa.array(np.arange(frm + 1, frm + len(sel) + 1, dtype=np.int64)),
                      "doc_id": pa.array(docs[sel], pa.int64()),
                      "score": pa.array(scores[sel], pa.float64())})
 
@@ -1091,11 +1254,18 @@ def batch_search_scatter(
 
     import ray.data
 
+    if not queries:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
     manifest = load_manifest(index_dir)
     n_docs = int(manifest["n_docs"])
     n_ranges = max(1, min(n_ranges, max(1, n_docs)))
     bounds = [round(i * n_docs / n_ranges) for i in range(n_ranges)] + [n_docs]
-    k_cap = max((int(q.get("k") or 10) for q in queries), default=10)
+    k_cap = max(
+        (int(q.get("k") or 10) + int(q.get("from") or 0) for q in queries), default=10
+    )
     qjson = json.dumps(queries)
     work = ray.data.from_items(
         [{"range_id": r, "queries_json": qjson} for r in range(n_ranges)],
@@ -1108,10 +1278,16 @@ def batch_search_scatter(
         batch_size=1,
     )
     ks = {int(q["query_id"]): int(q.get("k") or 10) for q in queries}
+    frms = {int(q["query_id"]): int(q.get("from") or 0) for q in queries}
 
     def attach_k(batch: pa.Table) -> pa.Table:
-        kcol = pa.array([ks.get(int(q), 10) for q in batch["query_id"].to_pylist()], pa.int64())
-        return batch.append_column("k", kcol)
+        qids = batch["query_id"].to_pylist()
+        batch = batch.append_column(
+            "k", pa.array([ks.get(int(q), 10) for q in qids], pa.int64())
+        )
+        return batch.append_column(
+            "from", pa.array([frms.get(int(q), 0) for q in qids], pa.int64())
+        )
 
     merged = (
         partials.map_batches(attach_k, batch_format="pyarrow")

@@ -1,0 +1,221 @@
+"""Round-2 query-surface extensions: pagination (ES ``from``), must_not /
+should bool clauses, keyword clauses through the batch + scatter serving
+paths, bounded prefix pushdown, and the constant-score top-k plateau fix.
+
+Expected values come from the pure-Python OracleIndex (independent per-term
+contribution dicts), never from the engine itself.
+"""
+
+import numpy as np
+import pytest
+
+from librecatastro_ray.pipelines.query import QueryEngine, _prefix_upper_bound
+
+
+@pytest.fixture(scope="module")
+def engine(built_index):
+    index_dir, _ = built_index
+    return QueryEngine(index_dir)
+
+
+def _oracle_scores(oracle, terms):
+    """{doc: summed contribution} over ``terms`` (clause order)."""
+    acc: dict[int, float] = {}
+    for t in terms:
+        for d, s in oracle.score_term(t).items():
+            acc[d] = acc.get(d, 0.0) + s
+    return acc
+
+
+def _ranked(scores: dict[int, float]):
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+# ---------------------------------------------------------------------------
+# pagination
+# ---------------------------------------------------------------------------
+
+
+def test_match_offset_slices_global_ranks(engine):
+    full = engine.match("def return", k=10**9).to_pylist()
+    page = engine.match("def return", k=5, offset=3).to_pylist()
+    assert len(page) == min(5, max(len(full) - 3, 0))
+    for row, exp in zip(page, full[3:8]):
+        assert row["rank"] == exp["rank"]  # global rank numbers survive
+        assert row["doc_id"] == exp["doc_id"]
+        assert row["score"] == exp["score"]
+
+
+def test_match_offset_past_end_is_empty(engine):
+    n = len(engine.match("def", k=10**9))
+    assert len(engine.match("def", k=10, offset=n + 5)) == 0
+
+
+def test_bool_must_offset(engine):
+    full = engine.bool_must(["def"], k=10**9).to_pylist()
+    page = engine.bool_must(["def"], k=4, offset=2).to_pylist()
+    assert [r["doc_id"] for r in page] == [r["doc_id"] for r in full[2:6]]
+    assert [r["rank"] for r in page] == [r["rank"] for r in full[2:6]]
+
+
+# ---------------------------------------------------------------------------
+# must_not / should
+# ---------------------------------------------------------------------------
+
+
+def test_bool_must_not_excludes_docs(engine, oracle_small):
+    not_term = sorted(oracle_small.postings)[0]
+    excluded = set(oracle_small.postings[not_term])
+    scores = {
+        d: s for d, s in _oracle_scores(oracle_small, ["def"]).items() if d not in excluded
+    }
+    exp = _ranked(scores)[:10]
+    got = engine.bool_must(["def"], k=10, must_not_terms=[not_term]).to_pylist()
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for row, (_, s) in zip(got, exp):
+        assert abs(row["score"] - s) < 1e-9
+    assert not any(r["doc_id"] in excluded for r in got)
+
+
+def test_bool_must_not_unknown_term_is_noop(engine):
+    a = engine.bool_must(["def"], k=10).to_pylist()
+    b = engine.bool_must(["def"], k=10, must_not_terms=["zzz_no_such_term"]).to_pylist()
+    assert a == b
+
+
+def test_bool_should_boosts_matching_docs(engine, oracle_small):
+    should_term = sorted(oracle_small.postings)[1]
+    must_scores = _oracle_scores(oracle_small, ["def"])
+    boost = oracle_small.score_term(should_term)
+    scores = {d: s + boost.get(d, 0.0) for d, s in must_scores.items()}
+    exp = _ranked(scores)[:10]
+    got = engine.bool_must(["def"], k=10, should_terms=[should_term]).to_pylist()
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for row, (_, s) in zip(got, exp):
+        assert abs(row["score"] - s) < 1e-9
+
+
+def test_pure_should_is_or_semantics(engine):
+    """bool with only should clauses == match of the same terms (OR + sum)."""
+    a = engine.bool_must([], k=10, should_terms=["def", "return"]).to_pylist()
+    b = engine.match("def return", k=10).to_pylist()
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# keyword clauses + pagination through the serving paths
+# ---------------------------------------------------------------------------
+
+
+def test_search_actor_keyword_clauses(built_index, engine):
+    import ray.data
+
+    from librecatastro_ray.pipelines.query import SearchActor
+
+    index_dir, _ = built_index
+    exp = engine.bool_must(
+        ["def"], k=10, keyword_eq=[("lang", "py")], must_not_terms=["return"]
+    ).to_pylist()
+    ds = ray.data.from_items(
+        [{
+            "query_id": 7, "kind": "bool_must", "text": "", "must_terms": ["def"],
+            "keyword_eq": [["lang", "py"]], "keyword_prefix": [],
+            "must_not_terms": ["return"], "should_terms": [],
+            "prefix": "", "k": 10,
+        }]
+    )
+    out = (
+        ds.map_batches(
+            SearchActor,
+            fn_constructor_kwargs={"index_dir": index_dir},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert out["doc_id"].tolist() == [r["doc_id"] for r in exp]
+    assert np.allclose(out["score"].to_numpy(), [r["score"] for r in exp])
+
+
+def test_scatter_keyword_clauses_and_from(built_index, engine, oracle_small):
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    index_dir, _ = built_index
+    some_repo = oracle_small.repos[0]
+    queries = [
+        {"query_id": 0, "kind": "bool_must", "must_terms": ["def"],
+         "keyword_eq": [["lang", "py"]], "keyword_prefix": [["repo", some_repo[:6]]],
+         "k": 10},
+        {"query_id": 1, "kind": "match", "text": "def return", "k": 5, "from": 3},
+        {"query_id": 2, "kind": "bool_must", "must_terms": ["def"],
+         "should_terms": ["return"], "must_not_terms": ["class"], "k": 10},
+    ]
+    got = batch_search_scatter(index_dir, queries, n_ranges=3)
+    rows = {qid: [] for qid in (0, 1, 2)}
+    for r in got.to_pylist():
+        rows[r["query_id"]].append(r)
+    exp0 = engine.bool_must(
+        ["def"], k=10, keyword_eq=[("lang", "py")],
+        keyword_prefix=[("repo", some_repo[:6])],
+    ).to_pylist()
+    exp1 = engine.match("def return", k=5, offset=3).to_pylist()
+    exp2 = engine.bool_must(
+        ["def"], k=10, should_terms=["return"], must_not_terms=["class"]
+    ).to_pylist()
+    for qid, exp in ((0, exp0), (1, exp1), (2, exp2)):
+        assert [(r["rank"], r["doc_id"]) for r in rows[qid]] == [
+            (r["rank"], r["doc_id"]) for r in exp
+        ], qid
+        for a, b in zip(rows[qid], exp):
+            assert abs(a["score"] - b["score"]) < 1e-12, qid
+
+
+def test_scatter_empty_query_list(built_index):
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    index_dir, _ = built_index
+    out = batch_search_scatter(index_dir, [], n_ranges=3)
+    assert len(out) == 0
+    assert out.column_names == ["query_id", "rank", "doc_id", "score"]
+
+
+# ---------------------------------------------------------------------------
+# prefix pushdown bound + top-k plateau
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_upper_bound():
+    assert _prefix_upper_bound("abc") == "abd"
+    assert _prefix_upper_bound("ab" + chr(0x10FFFF)) == "ac"
+    assert _prefix_upper_bound(chr(0x10FFFF)) is None
+    assert _prefix_upper_bound("a" + chr(0xD7FF)) == "a" + chr(0xE000)
+
+
+def test_keyword_prefix_bounded_matches_unbounded(engine, oracle_small):
+    """The added upper-range predicate must not change results."""
+    for pref in {r[:4] for r in oracle_small.repos[:8]}:
+        got = engine.keyword_docs("repo", pref, prefix=True)
+        exp = sorted(d for d, r in enumerate(oracle_small.repos) if r.startswith(pref))
+        assert list(got) == exp, pref
+
+
+def test_topk_constant_score_plateau():
+    """Every score tied (constant-score queries): the k smallest doc_ids win,
+    without lexsorting the whole plateau."""
+    from librecatastro_ray.functions.bm25 import topk_indices
+
+    n = 200_000
+    rng = np.random.RandomState(7)
+    doc_ids = rng.permutation(n).astype(np.int64)
+    scores = np.ones(n, dtype=np.float64)
+    sel = topk_indices(scores, doc_ids, 10)
+    assert sorted(doc_ids[sel].tolist()) == list(range(10))
+    assert doc_ids[sel].tolist() == list(range(10))  # rank order = doc_id asc
+    # mixed plateau: some strictly-above scores plus a huge tie at the kth
+    scores2 = np.ones(n, dtype=np.float64)
+    top_pos = np.nonzero(doc_ids < 3)[0]
+    scores2[top_pos] = 2.0
+    sel2 = topk_indices(scores2, doc_ids, 10)
+    assert doc_ids[sel2].tolist() == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
