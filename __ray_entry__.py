@@ -337,16 +337,15 @@ def _q_hits_total(sf_dir: str) -> pa.Table:
 
 
 def _q_ivf_topk(sf_dir: str) -> pa.Table:
-    from librecatastro_ray.pipelines.training import IvfIndex, _load_queries
+    from librecatastro_ray.pipelines.training import ivf_topk
 
-    idx = IvfIndex(sf_dir, n_cells=8)
-    qids, Q = _load_queries(sf_dir, 5)
+    res = ivf_topk(sf_dir, n_queries=5, k=10, nprobe=2, n_cells=8)
     rows = []
-    for qid, q in zip(qids, Q):
-        for rank, (vid, cos) in enumerate(idx.search(q, k=10, nprobe=2), 1):
+    for qid in sorted(res):
+        for rank, (vid, cos) in enumerate(res[qid], 1):
             if vid == qid:
                 continue
-            rows.append((int(qid), rank, vid, cos))
+            rows.append((int(qid), rank, int(vid), float(cos)))
     import pandas as pd
 
     out = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cos"])
@@ -393,9 +392,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- deduplication family
         "dedup_exact": T.exact_dedup,
         "dedup_ngram_jaccard": lambda sf: T.ngram_jaccard_pairs(sf, 0.62),
-        "dedup_minhash_lsh": lambda sf: T.minhash_lsh_candidates(sf, 0.6),  # rows-only
+        "dedup_minhash_lsh": lambda sf: T.minhash_lsh_candidates(sf, 0.6),
         "simhash_signatures": T.simhash_signatures,  # rows-only
         "embedding_dup_pairs": lambda sf: T.embedding_dup_pairs(sf, 0.4),
+        # rows-only: cell-bucketed pairs are a recall-bounded SUBSET of the
+        # exact join (subset + recall unit-tested); exactness needs the
+        # block-pair join above
+        "dedup_embedding_ivf": lambda sf: T.embedding_dup_pairs_ivf(sf, 0.4),
         # --- similarity search
         "ann_topk": lambda sf: T.ann_topk(sf, n_queries=5, k=10),
         "ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall unit-tested)
@@ -533,6 +536,23 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE, 6) >= 0.62
+""",
+        # verified LSH output == the exact all-pairs 4-gram Jaccard at the
+        # test corpora (every true pair there has jaccard ≥ 0.9 → detection
+        # probability ≈ 1-1e-7 at 16 bands × 4 rows)
+        "dedup_minhash_lsh": """
+WITH g AS (
+    SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(length(lower(coalesce(text, ''))) - 3, 0)),
+        i -> substr(lower(coalesce(text, '')), i, 4))) AS grams
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE, 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE, 6) >= 0.6
 """,
         "embedding_dup_pairs": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

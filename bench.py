@@ -68,7 +68,9 @@ def make_bench_corpus(sf_dir: str, amplify: int, out_dir: str) -> int:
             }
         )
 
-    ds = ray.data.read_parquet(
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "source", "text"],
     ).map_batches(amplify_batch, batch_format="pyarrow", batch_size=1024)
@@ -165,9 +167,11 @@ def run_bench() -> dict:
         query_mode = "scatter"
         out = len(batch_search_scatter(index_dir, queries, n_ranges=NUM_CPUS))
     else:
+        from librecatastro_ray.pipelines.query import queries_to_table
+
         query_mode = "replica-pool"
-        qds = ray.data.from_items(queries)
         pool = max(2, NUM_CPUS // 2)
+        qds = ray.data.from_arrow(queries_to_table(queries)).repartition(pool * 4)
         out = qds.map_batches(
             SearchActor,
             fn_constructor_kwargs={"index_dir": index_dir},

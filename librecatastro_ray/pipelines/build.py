@@ -65,6 +65,26 @@ def _phase_done(d: str) -> bool:
     return os.path.exists(_marker(d))
 
 
+def corpus_fingerprint(path: str) -> str:
+    """Cheap content-change detector for resume validation: sha256 over the
+    sorted (relpath, size, mtime_ns) of the corpus parquet files.  Stored in
+    the docs phase marker so a crashed build resumed against a CHANGED
+    corpus invalidates the finished phases instead of mixing old and new
+    content."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}\n".encode()
+                )
+    return h.hexdigest()
+
+
 TARGET_BLOCK_BYTES = 64 << 20  # ~64 MB of (compressed) parquet per block
 
 
@@ -81,7 +101,9 @@ def _read_sized(path: str, columns: list[str]) -> ray.data.Dataset:
                 total += os.path.getsize(os.path.join(root, f))
     n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
     n_blocks = max(2 * n_cpus, total // TARGET_BLOCK_BYTES or 1)
-    return ray.data.read_parquet(path, columns=columns, override_num_blocks=int(n_blocks))
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns, override_num_blocks=int(n_blocks))
 
 
 def _as_dataset(corpus: Any) -> ray.data.Dataset:
@@ -186,16 +208,30 @@ def build_index(
     # one key-only sort, one tokenize, one fused write: docs/ is forward
     # index, row-invariant (sha256) table and BM25 norm (dl) table in a
     # single columnar parquet, written block-per-file by the id-apply tasks
+    src_fp = corpus_fingerprint(corpus) if isinstance(corpus, str) else None
+    stats = None
     if _phase_done(docs_dir):
-        report["phases_skipped"].append("docs")
         stats = read_json(_marker(docs_dir))
+        if src_fp is not None and stats.get("src_fp") not in (None, src_fp):
+            # crash-resume against a CHANGED corpus: the finished docs phase
+            # (and everything derived from it) is stale — invalidate all of
+            # it rather than mixing old and new content
+            import shutil
+
+            shutil.rmtree(docs_dir, ignore_errors=True)
+            shutil.rmtree(shuffle_dir, ignore_errors=True)
+            shutil.rmtree(os.path.join(index_dir, "checkpoints"), ignore_errors=True)
+            report["phases_invalidated"] = ["docs", "shuffle", "merge"]
+            stats = None
+    if stats is not None:
+        report["phases_skipped"].append("docs")
     else:
         # no wipe here: dedup_assign_write's _PLAN.json keeps part files
         # from a crashed run when the corpus is unchanged (block-level
-        # resume) and clears them itself when it is not
+        # resume, content-fingerprinted) and clears them itself when not
         ds = _as_dataset(corpus)
         n_docs_a, sum_dl_a = dedup_assign_write(ds, docs_dir)
-        stats = {"n_docs": int(n_docs_a), "sum_dl": int(sum_dl_a)}
+        stats = {"n_docs": int(n_docs_a), "sum_dl": int(sum_dl_a), "src_fp": src_fp}
         atomic_write_json(_marker(docs_dir), stats)
     report["phase_seconds"]["docs"] = round(_t() - _t0, 3)
     _t0 = _t()

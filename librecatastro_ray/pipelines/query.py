@@ -862,6 +862,32 @@ class QueryEngine:
         return t.take(order)
 
 
+QUERY_INPUT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("must_terms", pa.list_(pa.string())),
+        ("prefix", pa.string()),
+        ("keyword_eq", pa.list_(pa.list_(pa.string()))),
+        ("keyword_prefix", pa.list_(pa.list_(pa.string()))),
+        ("must_not_terms", pa.list_(pa.string())),
+        ("should_terms", pa.list_(pa.string())),
+        ("k", pa.int64()),
+        ("from", pa.int64()),
+    ]
+)
+
+
+def queries_to_table(queries: list[dict]) -> pa.Table:
+    """Typed Arrow table for a batch-query workload.  ``from_items`` infers
+    ``list<null>`` for blocks whose list fields happen to be all-empty,
+    which drifts the schema across blocks (executor warnings + repeated
+    schema unification); an explicit schema keeps every block identical.
+    Missing keys become nulls — SearchActor treats null as empty."""
+    return pa.Table.from_pylist(queries, schema=QUERY_INPUT_SCHEMA)
+
+
 class SearchActor:
     """Actor-pool UDF for batch query evaluation: one QueryEngine per actor,
     loaded once in __init__ (the stateful-stage fix for the reference's

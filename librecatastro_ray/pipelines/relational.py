@@ -8,7 +8,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -16,27 +15,57 @@ from ray.data.aggregate import Count, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+_LINEITEM_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()),
+        ("sum_qty", pa.float64()),
+        ("sum_price", pa.float64()),
+        ("sum_revenue", pa.float64()),
+        ("n_rows", pa.int64()),
+    ]
+)
 
 
 def lineitem_agg(sf_dir: str) -> pa.Table:
     """TPC-H-Q1-style grouped aggregate with per-batch partial aggregation
-    (combine inside map_batches, then a small groupby over partials)."""
+    (combine inside map_batches, then a small groupby over partials) —
+    zero-copy Arrow batches, Arrow C++ group-by kernels, and a schema-stable
+    empty partial (an empty pandas frame used to drop its columns, tripping
+    the streaming executor's RefBundle schema check)."""
+    import pyarrow.compute as pc
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
-        g = batch.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_price=("l_extendedprice", "sum"),
-            sum_revenue=("revenue", "sum"),
-            n_rows=("l_quantity", "size"),
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _LINEITEM_PARTIAL_SCHEMA.empty_table()
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return g.reset_index()
+        t = batch.append_column("revenue", revenue)
+        g = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("revenue", "sum"),
+             ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["l_quantity_sum"],
+                "sum_price": g["l_extendedprice_sum"],
+                "sum_revenue": g["revenue_sum"],
+                "n_rows": g["count_all"].cast(pa.int64()),
+            }
+        )
 
     partials = _read(
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = (
         partials.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -55,27 +84,48 @@ def lineitem_agg(sf_dir: str) -> pa.Table:
     )
 
 
+_SEGMENT_PARTIAL_SCHEMA = pa.schema(
+    [("c_mktsegment", pa.string()), ("n_orders", pa.int64()), ("total", pa.float64())]
+)
+
+
 def orders_by_segment(sf_dir: str) -> pa.Table:
-    """Broadcast join: the small customer dimension is ray.put once and
-    looked up per batch (D1 in SURVEY.md §2.D — never a shuffle join for a
-    small side)."""
+    """Broadcast join: the small customer dimension is ray.put once (as
+    sorted key/value arrays) and probed per batch with one searchsorted
+    (D1 in SURVEY.md §2.D — never a shuffle join for a small side)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    order = np.argsort(cust["c_custkey"].to_numpy())
+    lookup_ref = ray.put(
+        (cust["c_custkey"].to_numpy()[order], cust["c_mktsegment"].to_numpy()[order])
+    )
 
     class JoinAgg:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys, self.segs = ray.get(lookup_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            seg = batch["o_custkey"].map(self.lookup)
-            b = pd.DataFrame({"c_mktsegment": seg, "o_totalprice": batch["o_totalprice"]})
-            g = b.groupby("c_mktsegment", sort=True).agg(
-                n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return _SEGMENT_PARTIAL_SCHEMA.empty_table()
+            ck = batch["o_custkey"].to_numpy()
+            pos = np.searchsorted(self.keys, ck)
+            pos[pos == len(self.keys)] = len(self.keys) - 1
+            seg = np.where(self.keys[pos] == ck, self.segs[pos], None)
+            t = pa.table(
+                {"c_mktsegment": pa.array(seg), "o_totalprice": batch["o_totalprice"]}
             )
-            return g.reset_index()
+            g = t.group_by("c_mktsegment", use_threads=False).aggregate(
+                [([], "count_all"), ("o_totalprice", "sum")]
+            )
+            return pa.table(
+                {
+                    "c_mktsegment": g["c_mktsegment"],
+                    "n_orders": g["count_all"].cast(pa.int64()),
+                    "total": g["o_totalprice_sum"],
+                }
+            )
 
     partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        JoinAgg, batch_format="pandas", batch_size=65536, concurrency=(1, 4)
+        JoinAgg, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4)
     )
     out = (
         partials.groupby("c_mktsegment")
@@ -90,13 +140,17 @@ def topk_orders(sf_dir: str, k: int = 10) -> pa.Table:
     """Distributed top-k: per-batch partial top-k, then exact final sort of
     the tiny candidate set (F1 semantics: value desc, key asc tiebreak)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(k)
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        )
+        return batch.take(idx.slice(0, k))
 
     cands = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
-        partial, batch_format="pandas", batch_size=65536
+        partial, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     cands = cands.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
     cands = cands.reset_index(drop=True)
@@ -109,21 +163,34 @@ def events_hourly(sf_dir: str) -> pa.Table:
     map_batches (no watermark machinery needed for batch, SURVEY.md §2.I),
     partial per batch, tiny final groupby."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = pd.DataFrame(
+    import pyarrow.compute as pc
+
+    empty_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.timestamp("us")),
+         ("n", pa.int64()), ("sum_value", pa.float64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_schema.empty_table()
+        hour = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("us"))
+        t = pa.table(
+            {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
+        )
+        g = t.group_by(["event_type", "hour"], use_threads=False).aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        return pa.table(
             {
-                "event_type": batch["event_type"],
-                "hour": batch["ts"].dt.floor("h"),
-                "value": batch["value"],
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "n": g["count_all"].cast(pa.int64()),
+                "sum_value": g["value_sum"],
             }
         )
-        g = b.groupby(["event_type", "hour"], sort=True).agg(
-            n=("value", "size"), sum_value=("value", "sum")
-        )
-        return g.reset_index()
 
     partials = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
-        partial, batch_format="pandas", batch_size=65536
+        partial, batch_format="pyarrow", batch_size=65536
     )
     out = (
         partials.groupby(["event_type", "hour"])
@@ -145,7 +212,9 @@ def filter_project_lineitem(sf_dir: str) -> pa.Table:
     the read, filter with vectorized Arrow kernels)."""
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_quantity", "l_discount", "l_returnflag"],
     )

