@@ -404,6 +404,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall unit-tested)
         # --- multimodal stub (real plumbing, stubbed decoder)
         "multimodal_decode": T.multimodal_decode_stub,
+        # --- nested data model (address struct + constructions list<struct>,
+        # the reference's document shape, elasticsearch_utils.py:38-56)
+        "nested_unnest": R.nested_unnest,
         # --- relational shapes (filters, partial agg, broadcast join, top-k, window)
         "lineitem_agg": R.lineitem_agg,
         "orders_by_segment": R.orders_by_segment,
@@ -588,6 +591,21 @@ SELECT doc_id, n_bytes, head_hex,
        (n_bytes % 640)::BIGINT AS fake_width,
        ((n_bytes * 7) % 480)::BIGINT AS fake_height
 FROM m
+""",
+        "nested_unnest": """
+WITH base AS (
+    SELECT doc_id, source AS city, (doc_id % 100)::BIGINT AS zip,
+           (doc_id % 4)::BIGINT AS n_cons
+    FROM documents
+),
+cons AS (
+    SELECT doc_id, city, zip,
+           unnest(generate_series(0, n_cons - 1)) AS floor
+    FROM base WHERE n_cons > 0
+)
+SELECT doc_id, city, zip, floor::BIGINT AS floor,
+       round(((doc_id * 31 + floor * 7) % 1000) / 10.0, 1) AS area
+FROM cons
 """,
         "lineitem_agg": """
 SELECT l_returnflag, l_linestatus,

@@ -1187,6 +1187,21 @@ class RangeEngine:
         return cached, len(cached)
 
 
+_PROCESS_RANGE_ENGINES: dict[tuple[str, int, int], "RangeEngine"] = {}
+
+
+def _process_range_engine(index_dir: str, lo: int, hi: int) -> "RangeEngine":
+    """One RangeEngine per (index_dir, range) per worker process — query
+    CHUNKS of the same range reuse the decoded range-share postings instead
+    of re-reading them per chunk (Ray reuses worker processes)."""
+    key = (index_dir, lo, hi)
+    rng = _PROCESS_RANGE_ENGINES.get(key)
+    if rng is None:
+        rng = RangeEngine(index_dir, lo, hi)
+        _PROCESS_RANGE_ENGINES[key] = rng
+    return rng
+
+
 def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_cap: int) -> pa.Table:
     """map_batches task: evaluate every query against one doc range; emit
     top-k partials (plus per-range counts for count-kind queries)."""
@@ -1196,7 +1211,7 @@ def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_c
     for row in batch.to_pylist():
         rid = int(row["range_id"])
         lo, hi = bounds[rid], bounds[rid + 1]
-        rng = RangeEngine(index_dir, lo, hi)
+        rng = _process_range_engine(index_dir, lo, hi)
         for q in json.loads(row["queries_json"]):
             qid, kind = q["query_id"], q["kind"]
             # ranges return the top (from + k); the merge slices the offset
@@ -1265,6 +1280,7 @@ def batch_search_scatter(
     index_dir: str,
     queries: list[dict],
     n_ranges: int = 8,
+    chunk_size: int = 2048,
 ) -> pa.Table:
     """Scatter-gather batch evaluation: every query runs against ``n_ranges``
     doc-id ranges in parallel (each range task touches only its slice of the
@@ -1292,10 +1308,20 @@ def batch_search_scatter(
     k_cap = max(
         (int(q.get("k") or 10) + int(q.get("from") or 0) for q in queries), default=10
     )
-    qjson = json.dumps(queries)
+    # chunk the query list so no single work item (or range task) carries the
+    # whole workload as one JSON blob — at millions of queries the driver
+    # serializes per-chunk and range tasks pipeline over chunks
+    chunks = [
+        json.dumps(queries[i : i + chunk_size])
+        for i in range(0, len(queries), chunk_size)
+    ]
     work = ray.data.from_items(
-        [{"range_id": r, "queries_json": qjson} for r in range(n_ranges)],
-        override_num_blocks=n_ranges,
+        [
+            {"range_id": r, "queries_json": cj}
+            for cj in chunks
+            for r in range(n_ranges)
+        ],
+        override_num_blocks=n_ranges * len(chunks),
     )
     partials = work.map_batches(
         _eval_range_batch,

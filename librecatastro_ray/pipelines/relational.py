@@ -230,3 +230,65 @@ def filter_project_lineitem(sf_dir: str) -> pa.Table:
     ).to_pandas()
     g["sum_qty"] = np.round(g["sum_qty"], 2)
     return pa.Table.from_pandas(g.sort_values("l_orderkey", ignore_index=True), preserve_index=False)
+
+
+def nested_unnest(sf_dir: str) -> ray.data.Dataset:
+    """Nested-document data model pass-through (the reference's document
+    shape: an ``address`` struct + a ``constructions`` list-of-struct,
+    reference: src/utils/elasticsearch_utils.py:38-56): stage 1 BUILDS the
+    nested Arrow columns, stage 2 (a separate map_batches, so the nested
+    blocks cross the object store) UNNESTS them back to flat rows with
+    pyarrow list kernels.  Proves pa.struct / pa.list_(pa.struct) columns
+    survive Dataset block transport end-to-end."""
+    import pyarrow.compute as pc
+
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    def build_nested(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        city = batch["source"].combine_chunks() if isinstance(
+            batch["source"], pa.ChunkedArray) else batch["source"]
+        address = pa.StructArray.from_arrays(
+            [city, pa.array(did % 100, pa.int64())], ["city", "zip"]
+        )
+        n_cons = (did % 4).astype(np.int64)
+        total = int(n_cons.sum())
+        starts = np.zeros(len(did), dtype=np.int64)
+        np.cumsum(n_cons[:-1], out=starts[1:])
+        floors = np.arange(total, dtype=np.int64) - np.repeat(starts, n_cons)
+        rep_doc = np.repeat(did, n_cons)
+        area = np.round(((rep_doc * 31 + floors * 7) % 1000) / 10.0, 1)
+        values = pa.StructArray.from_arrays(
+            [pa.array(floors, pa.int64()), pa.array(area, pa.float64())],
+            ["floor", "area"],
+        )
+        offsets = np.zeros(len(did) + 1, dtype=np.int32)
+        np.cumsum(n_cons, out=offsets[1:])
+        constructions = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "address": address, "constructions": constructions}
+        )
+
+    def unnest(batch: pa.Table) -> pa.Table:
+        cons = batch["constructions"].combine_chunks() if isinstance(
+            batch["constructions"], pa.ChunkedArray) else batch["constructions"]
+        addr = batch["address"].combine_chunks() if isinstance(
+            batch["address"], pa.ChunkedArray) else batch["address"]
+        parents = pc.list_parent_indices(cons)
+        flat = pc.list_flatten(cons)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(parents),
+                "city": addr.field("city").take(parents),
+                "zip": addr.field("zip").take(parents),
+                "floor": flat.field("floor"),
+                "area": flat.field("area"),
+            }
+        )
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source"])
+        .map_batches(build_nested, batch_format="pyarrow", batch_size=4096)
+        .map_batches(unnest, batch_format="pyarrow", batch_size=4096)
+    )

@@ -55,91 +55,122 @@ def _alt(words: list[str]) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _re_count(arr: pa.Array, pattern: str) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    return pc.count_substring_regex(arr, pattern).to_numpy().astype(np.int64)
+
+
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
     """Per-doc quality features: char/token counts, avg token length,
-    punctuation ratio, stopword ratio — all vectorized pandas str kernels."""
+    punctuation ratio, stopword ratio — zero-copy Arrow batches, all counts
+    via re2 kernels (``pc.count_substring_regex``), ratios in numpy."""
+    import pyarrow.compute as pc
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        low = text.str.lower()
-        n_chars = text.str.len().astype("int64")
-        n_tokens = low.str.count(_TOKEN_COUNT_RE).astype("int64")
-        alpha_chars = low.str.count(_ALPHA_CHAR_RE).astype("int64")
-        ws_chars = text.str.count(r"\s").astype("int64")
-        n_ws_tokens = text.str.split().str.len().fillna(0).astype("int64")
-        n_stop = low.str.count(_alt(STOPWORDS)).astype("int64")
-        out = pd.DataFrame(
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        low = pc.utf8_lower(text)
+        n_chars = pc.utf8_length(text).to_numpy().astype(np.int64)
+        n_tokens = _re_count(low, _TOKEN_COUNT_RE)
+        alpha_chars = _re_count(low, _ALPHA_CHAR_RE)
+        ws_chars = _re_count(text, r"\s")
+        n_ws_tokens = _re_count(text, r"\S+")  # whitespace-delimited tokens
+        n_stop = _re_count(low, _alt(STOPWORDS))
+        tok_div = np.where(n_tokens > 0, n_tokens, 1)
+        chr_div = np.where(n_chars > 0, n_chars, 1)
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_chars": n_chars,
-                "n_tokens": n_tokens,
-                "n_ws_tokens": n_ws_tokens,
-                "avg_token_len": np.round(
-                    np.where(n_tokens > 0, alpha_chars / n_tokens.replace(0, 1), 0.0), 6
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_ws_tokens": pa.array(n_ws_tokens, pa.int64()),
+                "avg_token_len": pa.array(
+                    np.round(np.where(n_tokens > 0, alpha_chars / tok_div, 0.0), 6)
                 ),
-                "punct_ratio": np.round(
-                    np.where(n_chars > 0, (n_chars - alpha_chars - ws_chars) / n_chars.replace(0, 1), 0.0), 6
+                "punct_ratio": pa.array(
+                    np.round(
+                        np.where(n_chars > 0, (n_chars - alpha_chars - ws_chars) / chr_div, 0.0),
+                        6,
+                    )
                 ),
-                "stop_ratio": np.round(
-                    np.where(n_tokens > 0, n_stop / n_tokens.replace(0, 1), 0.0), 6
+                "stop_ratio": pa.array(
+                    np.round(np.where(n_tokens > 0, n_stop / tok_div, 0.0), 6)
                 ),
             }
         )
-        return out
 
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas", batch_size=4096
+        fn, batch_format="pyarrow", batch_size=4096
     )
 
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     """n-gram/marker-word language ID heuristic: count per-language marker
-    tokens, argmax with alphabetical tiebreak, 'und' when nothing matches."""
+    tokens (re2 kernels), argmax with alphabetical tiebreak, 'und' when
+    nothing matches."""
+    import pyarrow.compute as pc
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        low = batch["text"].fillna("").str.lower()
-        counts = {
-            lang: low.str.count(_alt(words)).astype("int64")
-            for lang, words in sorted(LANG_MARKERS.items())
-        }
-        cdf = pd.DataFrame(counts)
-        best = cdf.idxmax(axis=1)  # first (alphabetical) max — columns sorted
-        best[cdf.max(axis=1) == 0] = "und"
-        return pd.DataFrame(
+    langs = sorted(LANG_MARKERS)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(batch["text"].combine_chunks(), ""))
+        counts = np.stack(
+            [_re_count(low, _alt(LANG_MARKERS[lang])) for lang in langs], axis=1
+        )
+        best_idx = np.argmax(counts, axis=1)  # first (alphabetical) max
+        best = np.array(langs, dtype=object)[best_idx]
+        best[counts.max(axis=1) == 0] = "und"
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "lang_pred": best.values,
-                **{f"c_{lang}": cdf[lang].values for lang in sorted(LANG_MARKERS)},
+                "lang_pred": pa.array(best, pa.string()),
+                **{f"c_{lang}": pa.array(counts[:, i], pa.int64())
+                   for i, lang in enumerate(langs)},
             }
         )
 
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas", batch_size=4096
+        fn, batch_format="pyarrow", batch_size=4096
     )
 
 
 def token_counts_by_lang(sf_dir: str) -> pa.Table:
-    """Per-lang corpus totals — partial aggregate per batch, then a tiny
-    groupby over the partials (never shuffling row-level data)."""
+    """Per-lang corpus totals — partial aggregate per batch (Arrow group-by
+    kernels), then a tiny groupby over the partials (never shuffling
+    row-level data)."""
+    import pyarrow.compute as pc
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        low = batch["text"].fillna("").str.lower()
-        b = pd.DataFrame(
+    partial_schema = pa.schema(
+        [("lang", pa.string()), ("n_docs", pa.int64()),
+         ("total_tokens", pa.int64()), ("total_chars", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return partial_schema.empty_table()
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        low = pc.utf8_lower(text)
+        t = pa.table(
             {
                 "lang": batch["lang"],
-                "n_tokens": low.str.count(_TOKEN_COUNT_RE).astype("int64"),
-                "n_chars": batch["text"].fillna("").str.len().astype("int64"),
+                "n_tokens": pa.array(_re_count(low, _TOKEN_COUNT_RE), pa.int64()),
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
             }
         )
-        g = b.groupby("lang", sort=True).agg(
-            n_docs=("n_tokens", "size"),
-            total_tokens=("n_tokens", "sum"),
-            total_chars=("n_chars", "sum"),
+        g = t.group_by("lang", use_threads=False).aggregate(
+            [([], "count_all"), ("n_tokens", "sum"), ("n_chars", "sum")]
         )
-        return g.reset_index()
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_docs": g["count_all"].cast(pa.int64()),
+                "total_tokens": g["n_tokens_sum"],
+                "total_chars": g["n_chars_sum"],
+            }
+        )
 
     partials = _docs_ds(sf_dir, ["lang", "text"]).map_batches(
-        partial, batch_format="pandas", batch_size=4096
+        partial, batch_format="pyarrow", batch_size=4096
     )
     final = (
         partials.groupby("lang")

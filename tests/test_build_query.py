@@ -271,3 +271,68 @@ def test_wide_rows_build_and_query(tmp_path):
     r = eng.match("needle_0007", k=5)
     assert len(r) == 1 and r["doc_id"][0].as_py() == eng.keyword_docs("path", "big/file_007.txt")[0]
     assert eng.count("tok1") == 24
+
+
+def test_nested_columns_survive_build(tmp_path):
+    """The reference's document shape (address struct + constructions
+    list<struct>, elasticsearch_utils.py:38-56) rides through dedup + id
+    assignment + the doc-store write untouched: extra nested columns on the
+    corpus land in docs/ with doc_ids assigned (data-model closure; the
+    fulltext tier never QUERIES them, matching the reference, which stores
+    but never queries the nested fields)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from librecatastro_ray.config import IndexConfig
+    from librecatastro_ray.pipelines.build import build_index
+
+    n = 60
+    addr = pa.StructArray.from_arrays(
+        [pa.array([f"city{i % 5}" for i in range(n)], pa.string()),
+         pa.array(np.arange(n, dtype=np.int64) % 100, pa.int64())],
+        ["city", "zip"],
+    )
+    n_cons = np.arange(n, dtype=np.int64) % 3
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(n_cons[:-1], out=starts[1:])
+    floors = np.arange(int(n_cons.sum()), dtype=np.int64) - np.repeat(starts, n_cons)
+    values = pa.StructArray.from_arrays(
+        [pa.array(floors, pa.int64()),
+         pa.array(floors * 11.5, pa.float64())],
+        ["floor", "area"],
+    )
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(n_cons, out=offsets[1:])
+    cons = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+    corpus = pa.table(
+        {
+            "repo": pa.array([f"r{i % 4}" for i in range(n)], pa.string()),
+            "path": pa.array([f"p/{i:04d}.txt" for i in range(n)], pa.string()),
+            "commit": pa.array(["c"] * n, pa.string()),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array([f"alpha beta tok{i}" for i in range(n)], pa.string()),
+            "address": addr,
+            "constructions": cons,
+        }
+    )
+    import ray.data
+
+    idx = str(tmp_path / "idx")
+    build_index(
+        ray.data.from_arrow(corpus).repartition(3), idx,
+        IndexConfig(num_partitions=2, num_salts=1, hot_df_ratio=1.1, block_size=16),
+    )
+    docs = pads.dataset(os.path.join(idx, "docs"), format="parquet").to_table()
+    assert "address" in docs.column_names and "constructions" in docs.column_names
+    docs = docs.sort_by("doc_id")
+    assert docs["doc_id"].to_pylist() == list(range(n))
+    # nested values intact, keyed by the original (repo, path)
+    by_path = {r["path"]: r for r in docs.to_pylist()}
+    assert by_path["p/0007.txt"]["address"] == {"city": "city2", "zip": 7}
+    assert by_path["p/0007.txt"]["constructions"] == [
+        {"floor": 0, "area": 0.0}
+    ]
+    assert by_path["p/0005.txt"]["constructions"] == [
+        {"floor": 0, "area": 0.0}, {"floor": 1, "area": 11.5}
+    ]
