@@ -49,11 +49,30 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--text", default=None, help="BM25 match query")
     q.add_argument("--must", nargs="*", default=None, help="bool.must conjunction terms")
+    q.add_argument("--must-not", nargs="*", default=None, help="bool.must_not exclusion terms")
+    q.add_argument("--should", nargs="*", default=None, help="bool.should score-boost terms")
+    q.add_argument("--lang", default=None, help="keyword equality filter on lang")
+    q.add_argument("--path-prefix", default=None, help="keyword prefix filter on path")
     q.add_argument("--prefix", default=None, help="prefix on the analyzed field")
     q.add_argument("--k", type=int, default=10)
+    q.add_argument("--from", dest="offset", type=int, default=0,
+                   help="pagination offset (ES 'from')")
     q.add_argument("--count", action="store_true", help="print hits.total only")
     q.add_argument("--wand", action="store_true",
                    help="use block-max pruned top-k (identical results)")
+
+    sb = sub.add_parser("search-batch", help="batch evaluation via doc-range "
+                        "scatter-gather; queries from a JSONL file, results to "
+                        "stdout or partitioned parquet")
+    sb.add_argument("--index", required=True)
+    sb.add_argument("--queries", required=True,
+                    help="JSONL file, one query object per line "
+                         '({"query_id", "kind", "text"|"must_terms"|"prefix", '
+                         '"k", "from", "keyword_eq", ...})')
+    sb.add_argument("--ranges", type=int, default=8)
+    sb.add_argument("--out", default=None,
+                    help="write results to this parquet dir (streaming) "
+                         "instead of stdout")
 
     d = sub.add_parser("drop", help="delete an index (idempotent)")
     d.add_argument("--index", required=True)
@@ -99,14 +118,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.count:
             print(json.dumps({"total": eng.count(args.text or "")}))
             return 0
-        if args.must:
-            res = eng.bool_must(list(args.must), k=args.k)
+        kw_eq = [("lang", args.lang)] if args.lang else None
+        kw_pre = [("path", args.path_prefix)] if args.path_prefix else None
+        if args.must or args.must_not or args.should or kw_eq or kw_pre:
+            res = eng.bool_must(
+                list(args.must or []), k=args.k, keyword_eq=kw_eq,
+                keyword_prefix=kw_pre, must_not_terms=args.must_not,
+                should_terms=args.should, offset=args.offset,
+            )
         elif args.prefix is not None:
             res = eng.prefix_content(args.prefix, k=args.k)
         elif args.text is not None:
-            res = (eng.match_wand if args.wand else eng.match)(args.text, k=args.k)
+            res = (eng.match_wand if args.wand else eng.match)(
+                args.text, k=args.k, **({} if args.wand else {"offset": args.offset})
+            )
         else:
-            p.error("query needs --text, --must or --prefix")
+            p.error("query needs --text, --must, --must-not, --should, "
+                    "--lang, --path-prefix or --prefix")
             return 2
         hyd = {r["doc_id"]: r for r in eng.hydrate(res["doc_id"].to_numpy()).to_pylist()}
         for row in res.to_pylist():
@@ -116,6 +144,25 @@ def main(argv: list[str] | None = None) -> int:
                 "score": round(row["score"], 6),
                 "repo": h.get("repo"), "path": h.get("path"),
             }))
+        return 0
+
+    if args.cmd == "search-batch":
+        _init_ray()
+        from librecatastro_ray.pipelines.query import batch_search_scatter
+
+        with open(args.queries) as f:
+            queries = [json.loads(line) for line in f if line.strip()]
+        out = batch_search_scatter(
+            args.index, queries, n_ranges=args.ranges, output_dir=args.out
+        )
+        if args.out:
+            print(json.dumps(out.to_pylist()[0]))
+        else:
+            for row in out.to_pylist():
+                print(json.dumps(row))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if args.cmd == "list":

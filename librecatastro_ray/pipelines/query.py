@@ -368,7 +368,7 @@ class QueryEngine:
         docs, scores = self._accumulate(doc_arrays, score_arrays)
         return self._topk_table(docs, scores, k, offset)
 
-    def match_wand(self, text: str, k: int = 10) -> pa.Table:
+    def match_wand(self, text: str, k: int = 10, offset: int = 0) -> pa.Table:
         """Q1+Q4 via block-max pruning (the WAND family, north_star): exact
         top-k identical to :meth:`match`, but only posting blocks that can
         still beat the running k-th score are decoded.
@@ -387,10 +387,11 @@ class QueryEngine:
         terms = tokenize(text)
         if not terms:
             return _empty_result()
+        k_eff = offset + k  # prune against the page's end, slice at the end
         if self.n_docs > DENSE_ACC_LIMIT:
             # chunk accumulator is dense over the doc-id space; partition-
             # routed serving keeps that bounded.  Out of range → full scoring.
-            return self.match(text, k)
+            return self.match(text, k, offset)
         tinfo = []
         for term in terms:
             df = self.term_df(term)
@@ -505,15 +506,15 @@ class QueryEngine:
                 out_docs.append(docs_c)
                 out_scores.append(acc[docs_c])
                 n_scored += len(docs_c)
-                if n_scored >= k:
+                if n_scored >= k_eff:
                     all_scores = np.concatenate(out_scores)
-                    theta = float(np.partition(all_scores, len(all_scores) - k)[len(all_scores) - k])
+                    theta = float(np.partition(all_scores, len(all_scores) - k_eff)[len(all_scores) - k_eff])
             # weak pruning (uniform scores) → grow chunks so the number of
             # chunk rounds stays logarithmic in the worst case
             chunk_docs *= 2
         if not out_docs:
             return _empty_result()
-        return self._topk_table(np.concatenate(out_docs), np.concatenate(out_scores), k)
+        return self._topk_table(np.concatenate(out_docs), np.concatenate(out_scores), k, offset)
 
     def bool_must(
         self,
@@ -1281,6 +1282,7 @@ def batch_search_scatter(
     queries: list[dict],
     n_ranges: int = 8,
     chunk_size: int = 2048,
+    output_dir: str | None = None,
 ) -> pa.Table:
     """Scatter-gather batch evaluation: every query runs against ``n_ranges``
     doc-id ranges in parallel (each range task touches only its slice of the
@@ -1346,6 +1348,16 @@ def batch_search_scatter(
         .groupby("query_id")
         .map_groups(_merge_query_group, batch_format="pyarrow")
     )
+    if output_dir is not None:
+        # streaming sink for workloads whose RESULT is large (many queries ×
+        # k rows): results go block-per-file to partitioned parquet instead
+        # of materializing on the driver
+        merged.write_parquet(output_dir)
+        n = int(
+            pads.dataset(output_dir, format="parquet").count_rows()
+        )
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "output_dir": pa.array([output_dir], pa.string())})
     t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
     order = pc.sort_indices(t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
     return t.take(order)

@@ -219,3 +219,29 @@ def test_topk_constant_score_plateau():
     scores2[top_pos] = 2.0
     sel2 = topk_indices(scores2, doc_ids, 10)
     assert doc_ids[sel2].tolist() == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_match_wand_offset(engine):
+    full = engine.match("def return", k=10**9).to_pylist()
+    page = engine.match_wand("def return", k=5, offset=3).to_pylist()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in page] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in full[3:8]
+    ]
+
+
+def test_scatter_output_dir_sink(built_index, engine, tmp_path):
+    import pyarrow.dataset as pads
+
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    index_dir, _ = built_index
+    queries = [{"query_id": i, "kind": "match", "text": "def", "k": 5} for i in range(4)]
+    out = batch_search_scatter(
+        index_dir, queries, n_ranges=3, output_dir=str(tmp_path / "res")
+    )
+    assert out["rows_written"][0].as_py() == 20
+    t = pads.dataset(str(tmp_path / "res"), format="parquet").to_table().to_pandas()
+    exp = engine.match("def", k=5).to_pylist()
+    for qid in range(4):
+        sub = t[t.query_id == qid].sort_values("rank")
+        assert sub["doc_id"].tolist() == [r["doc_id"] for r in exp]
