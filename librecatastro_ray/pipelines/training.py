@@ -413,13 +413,14 @@ class MinHasher:
         )
 
 
-def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+def _pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
     ids = np.unique(g["doc_id"].to_numpy())
     if len(ids) > _LSH_BUCKET_CAP:
         ids = ids[:_LSH_BUCKET_CAP]
     a_idx, b_idx = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame(
-        {"doc_a": ids[a_idx].astype("int64"), "doc_b": ids[b_idx].astype("int64")}
+    return pa.table(
+        {"doc_a": pa.array(ids[a_idx], pa.int64()),
+         "doc_b": pa.array(ids[b_idx], pa.int64())}
     )
 
 
@@ -429,48 +430,51 @@ def _empty_pairs() -> pa.Table:
 
 
 def _attach_text(pairs: ray.data.Dataset, texts: ray.data.Dataset, key_col: str,
-                 out_col: str) -> ray.data.Dataset:
-    """Hash-join one text column onto candidate pairs by shuffling pair rows
-    and text rows to the same ``doc_id`` key (union + groupby co-location —
-    no driver-side materialization of either side)."""
-    carry = list(pairs.schema().names)
-    ordered = ["join_key"] + carry + [out_col]
+                 out_col: str, num_partitions: int) -> ray.data.Dataset:
+    """Hash-join one text column onto candidate pairs by doc id (Ray Data's
+    native distributed hash join — no driver-side materialization of either
+    side, no per-group Python)."""
+    side = texts.map_batches(
+        lambda t: pa.table({"__jk": t["doc_id"], out_col: t["text"]}),
+        batch_format="pyarrow",
+    )
+    # the join emits left columns + right non-key columns (the right key is
+    # represented by key_col itself)
+    return pairs.join(side, "inner", num_partitions, on=(key_col,), right_on=("__jk",))
 
-    def tag_pairs(t: pa.Table) -> pa.Table:
-        return t.append_column("join_key", t[key_col]).append_column(
-            out_col, pa.array([None] * len(t), pa.string())
-        ).select(ordered)
 
-    def tag_texts(t: pa.Table) -> pa.Table:
-        cols = {"join_key": t["doc_id"], out_col: t["text"]}
-        for c in carry:
-            if c.startswith("doc_"):
-                # -1 marks the text row (doc ids are non-negative)
-                cols[c] = pa.array(np.full(len(t), -1, dtype=np.int64), pa.int64())
-            else:  # previously attached text_* columns
-                cols[c] = pa.array([None] * len(t), pa.string())
-        return pa.table(cols).select(ordered)
-
-    left = pairs.map_batches(tag_pairs, batch_format="pyarrow")
-    right = texts.map_batches(tag_texts, batch_format="pyarrow")
-
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        is_text = g["doc_a"].to_numpy() == -1
-        tvals = g.loc[is_text, out_col]
-        text = tvals.iloc[0] if len(tvals) else None
-        out = g.loc[~is_text, carry].copy()
-        out[out_col] = text
-        return out
-
-    return left.union(right).groupby("join_key").map_groups(resolve, batch_format="pandas")
+def _gram_set_np(s: str, n: int = 4) -> np.ndarray:
+    """Unique CHARACTER n-grams of ``s`` as a sorted numpy void array (each
+    element = n UTF-32 code points, compared by memcmp) — exact set
+    semantics identical to ``_char_ngrams`` (no hashing, no collisions),
+    but intersectable with vectorized ``np.intersect1d``."""
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) < n:
+        return np.zeros(0, dtype=np.dtype((np.void, 4 * n)))
+    win = np.lib.stride_tricks.sliding_window_view(cp, n)
+    v = np.ascontiguousarray(win).view(np.dtype((np.void, 4 * n))).reshape(-1)
+    return np.unique(v)
 
 
 def _verify_pairs(batch: pd.DataFrame, threshold: float, n: int = 4) -> pd.DataFrame:
+    """Exact n-gram Jaccard per candidate pair — gram sets built ONCE per
+    distinct doc in the batch (a near-dup hub appears in many pairs), pair
+    intersections via sorted-array numpy kernels (no per-gram Python)."""
+    grams: dict[int, np.ndarray] = {}
+
+    def gs(doc_id: int, text) -> np.ndarray:
+        g = grams.get(doc_id)
+        if g is None:
+            g = _gram_set_np((text or "").lower(), n)
+            grams[doc_id] = g
+        return g
+
     rows = []
     for a, b, ta, tb in zip(batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]):
-        sa, sb = _char_ngrams((ta or "").lower(), n), _char_ngrams((tb or "").lower(), n)
-        u = len(sa | sb)
-        jac = (len(sa & sb) / u) if u else 0.0
+        sa, sb = gs(int(a), ta), gs(int(b), tb)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        u = len(sa) + len(sb) - inter
+        jac = (inter / u) if u else 0.0
         if round(jac, 6) >= threshold:
             rows.append((int(a), int(b), round(jac, 6)))
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
@@ -478,27 +482,74 @@ def _verify_pairs(batch: pd.DataFrame, threshold: float, n: int = 4) -> pd.DataF
     )
 
 
-def minhash_lsh_candidates(sf_dir: str, verify_threshold: float = 0.6) -> pa.Table:
-    """MinHash+LSH near-dup: shingle → minhash → band → bucket groupby →
-    candidate pairs → DISTRIBUTED exact-Jaccard verification.  Deterministic
-    (seeded permutations).  The whole pipeline is Dataset-shaped: candidate
-    texts are attached by doc_id-keyed groupby co-location (never a driver
-    ``take_all()``); the only driver-resident state is the candidate id-set
-    used to semi-join the texts (output-scale, not corpus-scale).
+def minhash_lsh_candidates(
+    sf_dir: str, verify_threshold: float = 0.6, num_partitions: int | None = None
+) -> pa.Table:
+    """MinHash+LSH near-dup: shingle → minhash → band buckets → candidate
+    pairs via a DISTRIBUTED bucket self-join → pair dedup (vectorized hash
+    aggregate) → DISTRIBUTED exact-Jaccard verification (numpy gram-set
+    intersections).  Deterministic (seeded permutations).  Everything is
+    Dataset-shaped and vectorized: no driver ``take_all()``, no per-group
+    Python on the candidate path (degenerate over-cap buckets — thousands of
+    mutually-identical docs — fall back to a capped per-group expansion; the
+    only driver-resident state is the candidate id-set used to semi-join the
+    texts, output-scale by construction).
 
     Oracle-matched: at 16 bands × 4 rows, a pair at the 0.6 verify threshold
     is caught with p ≈ 0.89 and a real near-dup (jaccard ≥ 0.9, which is all
     the test corpora contain) with p ≈ 1-1e-7, so verified output equals the
     exact all-pairs SQL."""
+    from ray.data.aggregate import Count
+
+    if num_partitions is None:
+        # the join's aggregator actor pool starves (hangs) when partitions
+        # outnumber what the cluster's CPUs can host — size to the cluster
+        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4))
+    # bands are consumed twice (size aggregate + join side) — materialize the
+    # ONE minhash pass; ~24 B/row of band keys, never corpus text
+    bands = ds.map_batches(
+        MinHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
+    ).materialize()
+    # bucket sizes (vectorized aggregate) → split normal vs degenerate buckets
+    sizes = bands.groupby(["band", "bucket"]).aggregate(Count(alias_name="bsize"))
+    # materialize between joins: two JoinOperators in ONE streaming DAG
+    # deadlock the executor (observed on ray 2.49); each barrier here is
+    # metadata- or candidate-scale (band keys / pair ids), never corpus text
+    bands_sz = bands.join(sizes, "inner", num_partitions, on=("band", "bucket")).materialize()
+    normal = bands_sz.map_batches(
+        lambda t: t.filter(pa.compute.less_equal(t["bsize"], _LSH_BUCKET_CAP)),
+        batch_format="pyarrow",
+    ).select_columns(["band", "bucket", "doc_id"])
+    oversized = bands_sz.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["bsize"], _LSH_BUCKET_CAP)),
+        batch_format="pyarrow",
+    ).select_columns(["band", "bucket", "doc_id"])
+    # normal buckets: pairs = bucket SELF-JOIN (native hash join, vectorized)
+    right = normal.map_batches(
+        lambda t: pa.table({"band": t["band"], "bucket": t["bucket"], "doc_id_r": t["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    pair_rows = normal.join(right, "inner", num_partitions, on=("band", "bucket"))
+    cand = pair_rows.map_batches(
+        lambda t: pa.table(
+            {"doc_a": t["doc_id"], "doc_b": t["doc_id_r"]}
+        ).filter(pa.compute.less(t["doc_id"], t["doc_id_r"])),
+        batch_format="pyarrow",
+    )
+    # degenerate buckets (rare by construction): capped per-group expansion
+    cand_big = oversized.groupby(["band", "bucket"]).map_groups(
+        _pairs_in_bucket, batch_format="pandas"
+    )
+    cand = cand.union(cand_big)
+    # a pair surfacing from multiple bands must verify once: vectorized
+    # distributed dedup by pair key (candidate-scale shuffle); materialized —
+    # it is consumed twice (id-set + attach join) and joins can't chain
     cand = (
-        bands.groupby(["band", "bucket"])
-        .map_groups(_pairs_in_bucket, batch_format="pandas")
-        # a pair surfacing from multiple bands must verify once: distributed
-        # dedup by pair key (candidate-scale shuffle, not corpus-scale)
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+        .materialize()
     )
     # semi-join texts down to candidate ids (the id-set is output-scale; a
     # corpus-scale candidate set would mean the threshold is meaningless)
@@ -520,8 +571,8 @@ def minhash_lsh_candidates(sf_dir: str, verify_threshold: float = 0.6) -> pa.Tab
         return t.filter(pa.array(ids[pos] == d))
 
     texts = ds.map_batches(filter_texts, batch_format="pyarrow")
-    with_a = _attach_text(cand, texts, "doc_a", "text_a")
-    with_ab = _attach_text(with_a, texts, "doc_b", "text_b")
+    with_a = _attach_text(cand, texts, "doc_a", "text_a", num_partitions).materialize()
+    with_ab = _attach_text(with_a, texts, "doc_b", "text_b", num_partitions)
     out = with_ab.map_batches(
         lambda b: _verify_pairs(b, verify_threshold), batch_format="pandas"
     ).to_pandas()  # verified pairs: output-scale
