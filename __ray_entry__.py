@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": T.quality_scores,
         "lang_id": T.lang_id,
         "token_counts_by_lang": T.token_counts_by_lang,
+        "token_counts_bpe": T.token_counts_bpe,
         "doc_fingerprints": T.doc_fingerprints,  # rows-only (order-sensitive rolling hash)
         # --- deduplication family
         "dedup_exact": T.exact_dedup,
@@ -402,16 +403,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": lambda sf: T.ann_topk(sf, n_queries=5, k=10),
         "ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall unit-tested)
-        # --- multimodal stub (real plumbing, stubbed decoder)
+        # --- multimodal stubs (real plumbing, stubbed/deterministic-fake codecs)
         "multimodal_decode": T.multimodal_decode_stub,
+        "multimodal_frames": T.multimodal_frames,
         # --- nested data model (address struct + constructions list<struct>,
         # the reference's document shape, elasticsearch_utils.py:38-56)
         "nested_unnest": R.nested_unnest,
-        # --- relational shapes (filters, partial agg, broadcast join, top-k, window)
+        # --- relational shapes (filters, partial agg, broadcast join, top-k,
+        # window, as-of join)
         "lineitem_agg": R.lineitem_agg,
         "orders_by_segment": R.orders_by_segment,
         "topk_orders": R.topk_orders,
         "events_hourly": R.events_hourly,
+        "events_sliding": R.events_sliding,
+        "asof_join_events": R.asof_join_events,
         "filter_project_lineitem": R.filter_project_lineitem,
     }
 
@@ -634,6 +639,37 @@ SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*)::BIGINT AS n,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+        "events_sliding": """
+WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+e AS (SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS b, value FROM events)
+SELECT event_type, b - k.k * INTERVAL '15 minutes' AS window_start,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM e CROSS JOIN k
+GROUP BY 1, 2
+""",
+        "asof_join_events": """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+views AS (SELECT event_id AS view_event_id, user_id, ts AS view_ts
+          FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.ts, v.view_event_id, v.view_ts,
+       (epoch_us(c.ts) - epoch_us(v.view_ts))::BIGINT AS gap_us
+FROM clicks c ASOF JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+""",
+        "token_counts_bpe": r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(coalesce(text, '')),
+                              ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))::BIGINT AS n_bpe_tokens
+FROM documents
+""",
+        "multimodal_frames": """
+WITH f AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+m AS (SELECT doc_id, least(ceil(length(t) / 256.0), 8)::BIGINT AS n_frames, t FROM f)
+SELECT doc_id, n_frames,
+       CASE WHEN n_frames > 0 THEN md5(substr(t, 1, 256)) END AS first_frame_md5,
+       CASE WHEN n_frames > 0 THEN md5(substr(t, 1 + (n_frames - 1) * 256, 256)) END AS last_frame_md5
+FROM m
 """,
         "filter_project_lineitem": """
 SELECT l_orderkey,

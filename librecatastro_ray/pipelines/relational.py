@@ -292,3 +292,121 @@ def nested_unnest(sf_dir: str) -> ray.data.Dataset:
         .map_batches(build_nested, batch_format="pyarrow", batch_size=4096)
         .map_batches(unnest, batch_format="pyarrow", batch_size=4096)
     )
+
+
+def asof_join_events(sf_dir: str) -> pa.Table:
+    """AS-OF JOIN (a custom operator Ray Data lacks natively): for every
+    'click' event, the most recent PRIOR-or-equal 'view' event of the SAME
+    user.  Composed per the partitioned-as-of recipe: filter both sides at
+    the read → co-locate by the equality key (user_id) with groupby →
+    per-group pandas merge_asof over ts-sorted frames.  Partitioning
+    assumption (documented): one user's event history fits in a group —
+    the natural key-partitioned layout for sessionization workloads."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g.event_type == "click"].sort_values("ts")
+        views = g[g.event_type == "view"].sort_values("ts")
+        empty = pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
+             "ts": pd.Series(dtype="datetime64[us]"),
+             "view_event_id": pd.Series(dtype="int64"),
+             "view_ts": pd.Series(dtype="datetime64[us]"),
+             "gap_us": pd.Series(dtype="int64")}
+        )
+        if clicks.empty or views.empty:
+            return empty
+        m = pd.merge_asof(
+            clicks[["event_id", "user_id", "ts"]],
+            views[["event_id", "ts"]].rename(
+                columns={"event_id": "view_event_id", "ts": "view_ts"}),
+            left_on="ts", right_on="view_ts", direction="backward",
+        )
+        m = m[m.view_event_id.notna()]  # inner as-of semantics
+        if m.empty:
+            return empty
+        m["view_event_id"] = m["view_event_id"].astype("int64")
+        m["gap_us"] = (
+            m["ts"].astype("datetime64[us]").astype("int64")
+            - m["view_ts"].astype("datetime64[us]").astype("int64")
+        )
+        return m[["event_id", "user_id", "ts", "view_event_id", "view_ts", "gap_us"]]
+
+    def keep_kinds(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(["click", "view"])))
+
+    out = (
+        ds.map_batches(keep_kinds, batch_format="pyarrow")  # prune before the shuffle
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    t = pa.Table.from_pandas(
+        out.sort_values("event_id", ignore_index=True), preserve_index=False
+    )
+    for col in ("ts", "view_ts"):
+        i = t.schema.get_field_index(col)
+        t = t.set_column(i, col, t[col].cast(pa.timestamp("us")))
+    return t
+
+
+def events_sliding(sf_dir: str) -> pa.Table:
+    """Hopping-window aggregate (1-hour windows every 15 minutes): each
+    event fans out to the 4 windows covering it inside map_batches (numpy
+    repeat — no per-row Python), partials aggregate per batch, tiny final
+    groupby.  The window fan-out is the custom streaming-window operator
+    re-expressed for batch."""
+    import pyarrow.compute as pc
+
+    hop_us = 15 * 60 * 1_000_000
+    n_hops = 4  # 1h window / 15min hop
+    empty_schema = pa.schema(
+        [("event_type", pa.string()), ("window_start", pa.timestamp("us")),
+         ("n", pa.int64()), ("sum_value", pa.float64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_schema.empty_table()
+        floored = (
+            pc.floor_temporal(batch["ts"], multiple=15, unit="minute")
+            .cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        k = np.tile(np.arange(n_hops, dtype=np.int64), len(batch))
+        ws = np.repeat(floored, n_hops) - k * hop_us
+        t = pa.table(
+            {
+                "event_type": pa.array(
+                    np.repeat(batch["event_type"].to_numpy(zero_copy_only=False), n_hops)
+                ),
+                "window_start": pa.array(ws.astype("datetime64[us]"), pa.timestamp("us")),
+                "value": pa.array(np.repeat(batch["value"].to_numpy(), n_hops)),
+            }
+        )
+        g = t.group_by(["event_type", "window_start"], use_threads=False).aggregate(
+            [([], "count_all"), ("value", "sum")]
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "window_start": g["window_start"],
+             "n": g["count_all"].cast(pa.int64()), "sum_value": g["value_sum"]}
+        )
+
+    partials = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    out = (
+        partials.groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = np.round(out["sum_value"], 6)
+    t = pa.Table.from_pandas(
+        out.sort_values(["event_type", "window_start"], ignore_index=True),
+        preserve_index=False,
+    )
+    i = t.schema.get_field_index("window_start")
+    return t.set_column(i, "window_start", t["window_start"].cast(pa.timestamp("us")))

@@ -1053,3 +1053,71 @@ def multimodal_decode_stub(sf_dir: str) -> ray.data.Dataset:
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         DecodeStub, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )
+
+
+# BPE-ish pre-tokenizer (GPT-2-style word/number/punct split, RE2-safe — no
+# lookahead, so pyarrow's and DuckDB's RE2 count the same matches)
+BPE_SPLIT_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc token-count estimate under a BPE-ish pre-tokenizer: counts
+    word / number / punctuation-run pre-tokens on the lowercased text (the
+    cheap proxy for LLM token budgeting; re2 kernel, zero-copy batches)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(batch["text"].combine_chunks(), ""))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(_re_count(low, BPE_SPLIT_RE), pa.int64()),
+            }
+        )
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=4096
+    )
+
+
+class FrameSampler:
+    """Multimodal frame-sample + per-frame feature stage (actor pool, REAL
+    plumbing / deterministic fake features like DecodeStub): the payload is
+    cut into fixed-stride frames (every 256 CHARACTERS, capped at 8 — the
+    video frame-sample analogue) and each frame gets an md5 feature.  A real
+    decoder would replace ``_frame_feature`` (codec libs absent here)."""
+
+    FRAME_CHARS = 256
+    MAX_FRAMES = 8
+
+    @staticmethod
+    def _frame_feature(frame: str) -> str:
+        return hashlib.md5(frame.encode("utf-8")).hexdigest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [(s or "") for s in batch["text"].to_pylist()]
+        n_frames, first, last = [], [], []
+        for t in texts:
+            n = min((len(t) + self.FRAME_CHARS - 1) // self.FRAME_CHARS, self.MAX_FRAMES)
+            n_frames.append(n)
+            if n == 0:
+                first.append(None)
+                last.append(None)
+            else:
+                first.append(self._frame_feature(t[: self.FRAME_CHARS]))
+                lo = (n - 1) * self.FRAME_CHARS
+                last.append(self._frame_feature(t[lo : lo + self.FRAME_CHARS]))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "first_frame_md5": pa.array(first, pa.string()),
+                "last_frame_md5": pa.array(last, pa.string()),
+            }
+        )
+
+
+def multimodal_frames(sf_dir: str) -> ray.data.Dataset:
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )

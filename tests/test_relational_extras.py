@@ -1,0 +1,95 @@
+"""Hermetic tests for the round-2 custom operators: as-of join, hopping
+windows, BPE-ish token counts, multimodal frame sampling."""
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def tiny_events_dir(tmp_path):
+    ts = pa.array(
+        np.array([10, 20, 30, 40, 50, 60, 15, 25], dtype="int64") * 1_000_000_000_000,
+        pa.timestamp("us"),
+    )  # spaced ~11.5 days apart; user 1 and user 2 interleaved
+    t = pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 1], pa.int64()),
+            "event_type": pa.array(
+                ["view", "click", "view", "click", "view", "click", "click", "error"],
+                pa.string(),
+            ),
+            "value": pa.array([1.0] * 8, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_asof_join_events(tiny_events_dir):
+    from librecatastro_ray.pipelines.relational import asof_join_events
+
+    out = {r["event_id"]: r for r in asof_join_events(tiny_events_dir).to_pylist()}
+    # user 1: click@20 ← view@10; click@40 ← view@30
+    assert out[1]["view_event_id"] == 0
+    assert out[3]["view_event_id"] == 2
+    # user 2: click@60 ← view@50; click@15 has NO prior view (view@50 is later) → dropped
+    assert out[5]["view_event_id"] == 4
+    assert 6 not in out
+    assert 7 not in out  # 'error' is not a click
+    assert out[1]["gap_us"] == 10 * 1_000_000_000_000
+
+
+def test_events_sliding_four_windows(tiny_events_dir):
+    from librecatastro_ray.pipelines.relational import events_sliding
+
+    out = events_sliding(tiny_events_dir).to_pylist()
+    # every event lands in exactly 4 hopping windows → sum of n == 4 × events
+    assert sum(r["n"] for r in out) == 4 * 8
+    # each window_start is 15-minute aligned and covers its event
+    for r in out:
+        assert r["window_start"].minute % 15 == 0
+        assert r["window_start"].second == 0
+
+
+def test_token_counts_bpe_matches_python_re(tmp_path):
+    from librecatastro_ray.pipelines.training import BPE_SPLIT_RE, token_counts_bpe
+
+    texts = [
+        "Hello, world! 123 foo_bar", "", None, "a  b   c", "!!!", "x9y8z7",
+        "CamelCase and under_scores, plus 3.14 numbers",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_counts_bpe(str(tmp_path)).take_all()}
+    pat = re.compile(BPE_SPLIT_RE)
+    for i, t in enumerate(texts):
+        assert got[i] == len(pat.findall((t or "").lower())), (i, t)
+
+
+def test_multimodal_frames(tmp_path):
+    from librecatastro_ray.pipelines.training import multimodal_frames
+
+    texts = ["x" * 600, "", "short", "y" * (256 * 10)]  # 3 frames, 0, 1, capped 8
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["doc_id"]: r for r in multimodal_frames(str(tmp_path)).take_all()}
+    assert got[0]["n_frames"] == 3
+    assert got[0]["first_frame_md5"] == hashlib.md5(("x" * 256).encode()).hexdigest()
+    assert got[0]["last_frame_md5"] == hashlib.md5(("x" * 88).encode()).hexdigest()
+    assert got[1]["n_frames"] == 0 and got[1]["first_frame_md5"] is None
+    assert got[2]["n_frames"] == 1
+    assert got[2]["first_frame_md5"] == got[2]["last_frame_md5"]
+    assert got[3]["n_frames"] == 8  # frame cap
