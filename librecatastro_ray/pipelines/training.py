@@ -511,20 +511,44 @@ def minhash_lsh_candidates(
     bands = ds.map_batches(
         MinHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
     ).materialize()
-    # bucket sizes (vectorized aggregate) → split normal vs degenerate buckets
+    # degenerate-bucket guard: bucket sizes are a vectorized aggregate whose
+    # OVER-CAP tail is tiny by construction (a >CAP bucket means >CAP
+    # mutually-near-identical docs) — collect just those keys on the driver
+    # and broadcast them, instead of joining sizes back onto every band row
     sizes = bands.groupby(["band", "bucket"]).aggregate(Count(alias_name="bsize"))
-    # materialize between joins: two JoinOperators in ONE streaming DAG
-    # deadlock the executor (observed on ray 2.49); each barrier here is
-    # metadata- or candidate-scale (band keys / pair ids), never corpus text
-    bands_sz = bands.join(sizes, "inner", num_partitions, on=("band", "bucket")).materialize()
-    normal = bands_sz.map_batches(
-        lambda t: t.filter(pa.compute.less_equal(t["bsize"], _LSH_BUCKET_CAP)),
-        batch_format="pyarrow",
-    ).select_columns(["band", "bucket", "doc_id"])
-    oversized = bands_sz.map_batches(
+    big = sizes.map_batches(
         lambda t: t.filter(pa.compute.greater(t["bsize"], _LSH_BUCKET_CAP)),
         batch_format="pyarrow",
-    ).select_columns(["band", "bucket", "doc_id"])
+    ).to_pandas()
+    big_keys = (
+        set(zip(big["band"].tolist(), big["bucket"].tolist()))
+        if "band" in big.columns and not big.empty
+        else set()
+    )
+
+    if big_keys:
+        big_ref = ray.put(big_keys)
+
+        def split(t: pa.Table, keep_big: bool) -> pa.Table:
+            keys = ray.get(big_ref)
+            mask = np.fromiter(
+                ((b, k) in keys for b, k in zip(t["band"].to_pylist(), t["bucket"].to_pylist())),
+                dtype=bool, count=len(t),
+            )
+            return t.filter(pa.array(mask if keep_big else ~mask))
+
+        normal = bands.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+        oversized = bands.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+        # degenerate buckets: capped per-group expansion (few groups)
+        cand_big = oversized.groupby(["band", "bucket"]).map_groups(
+            _pairs_in_bucket, batch_format="pandas"
+        )
+    else:
+        # arrow-normalize (the join requires arrow blocks; MinHasher emits pandas)
+        normal = bands.map_batches(
+            lambda t: t.select(["band", "bucket", "doc_id"]), batch_format="pyarrow"
+        )
+        cand_big = None
     # normal buckets: pairs = bucket SELF-JOIN (native hash join, vectorized)
     right = normal.map_batches(
         lambda t: pa.table({"band": t["band"], "bucket": t["bucket"], "doc_id_r": t["doc_id"]}),
@@ -537,11 +561,8 @@ def minhash_lsh_candidates(
         ).filter(pa.compute.less(t["doc_id"], t["doc_id_r"])),
         batch_format="pyarrow",
     )
-    # degenerate buckets (rare by construction): capped per-group expansion
-    cand_big = oversized.groupby(["band", "bucket"]).map_groups(
-        _pairs_in_bucket, batch_format="pandas"
-    )
-    cand = cand.union(cand_big)
+    if cand_big is not None:
+        cand = cand.union(cand_big)
     # a pair surfacing from multiple bands must verify once: vectorized
     # distributed dedup by pair key (candidate-scale shuffle); materialized —
     # it is consumed twice (id-set + attach join) and joins can't chain
