@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.exact_dedup,
         "dedup_ngram_jaccard": lambda sf: T.ngram_jaccard_pairs(sf, 0.62),
         "dedup_minhash_lsh": lambda sf: T.minhash_lsh_candidates(sf, 0.6),
+        "dedup_near_clusters": lambda sf: T.near_dup_clusters(sf, 0.6),
         "simhash_signatures": T.simhash_signatures,  # rows-only
         "embedding_dup_pairs": lambda sf: T.embedding_dup_pairs(sf, 0.4),
         # rows-only: cell-bucketed pairs are a recall-bounded SUBSET of the
@@ -561,6 +562,31 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM g a JOIN g b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE, 6) >= 0.6
+""",
+        # connected components over the verified near-dup pairs (recursive
+        # transitive closure; clusters are tiny at any sane threshold)
+        "dedup_near_clusters": """
+WITH RECURSIVE g AS (
+    SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(length(lower(coalesce(text, ''))) - 3, 0)),
+        i -> substr(lower(coalesce(text, '')), i, 4))) AS grams
+    FROM documents
+),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE, 6) >= 0.6
+),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(src, dst) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+)
+SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_keep
+FROM reach GROUP BY src
 """,
         "embedding_dup_pairs": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1142,3 +1142,40 @@ def multimodal_frames(sf_dir: str) -> ray.data.Dataset:
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
     )
+
+
+def near_dup_clusters(sf_dir: str, verify_threshold: float = 0.6) -> pa.Table:
+    """The dedup DECISION for the near-dup family: connected components over
+    the verified MinHash-LSH pairs; every clustered doc maps to its
+    component's smallest doc_id (``cluster_keep`` — keep that one, drop the
+    rest).  The pair set is output-scale by construction (it already passed
+    the similarity threshold), so the union-find runs on the driver; the
+    heavy lifting (candidate generation + verification) is the distributed
+    pipeline above."""
+    pairs = minhash_lsh_candidates(sf_dir, verify_threshold)
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    ids = np.unique(np.concatenate([a, b])) if len(a) else np.zeros(0, np.int64)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by smaller root → the root IS the smallest id
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_keep": pa.array([find(int(i)) for i in ids], pa.int64()),
+        }
+    )
+    return out

@@ -231,3 +231,31 @@ def test_decode_stub_gates_real_decoder():
 
     with pytest.raises(NotImplementedError):
         DecodeStub(real_decoder=True)
+
+
+def test_near_dup_clusters_transitive(tmp_path):
+    """Union-find over verified pairs: transitive chains collapse into one
+    cluster keyed by the smallest doc_id."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import near_dup_clusters
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    texts = [" ".join(vocab[rng.randint(300)] for _ in range(80)) for _ in range(50)]
+    # cluster {0, 40, 45}: two different single-token edits of doc 0
+    t = texts[0].split(); t[7] = "zzz"; texts[40] = " ".join(t)
+    t = texts[0].split(); t[9] = "qqq"; texts[45] = " ".join(t)
+    # cluster {3, 41}
+    t = texts[3].split(); t[5] = "rrr"; texts[41] = " ".join(t)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    out = {r["doc_id"]: r["cluster_keep"] for r in near_dup_clusters(str(sf), 0.6).to_pylist()}
+    assert out[0] == 0 and out[40] == 0 and out[45] == 0
+    assert out[3] == 3 and out[41] == 3
+    assert set(out) == {0, 40, 45, 3, 41}
