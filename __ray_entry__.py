@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_must2": lambda sf: _q_bool_must(sf, ["fast", "slow"], 10),
         "bool_must_lang": lambda sf: _q_bool_must(sf, ["table"], 10, lang_eq="en"),
         "bool_must_not": lambda sf: _q_bool_must(sf, ["table"], 10, must_not=["slow"]),
+        # pure must_not = ES match_all minus the exclusions (constant score)
+        "bool_must_not_only": lambda sf: _q_bool_must(sf, [], 10, must_not=["table"]),
         "bool_should": lambda sf: _q_bool_must(
             sf, ["table"], 10, should=["fast", "merge"]
         ),
@@ -449,6 +451,14 @@ FROM stats s
         "bool_must2": _bm25_sql(["fast", "slow"], 10, must_all=True),
         "bool_must_lang": _bm25_sql(["table"], 10, must_all=True, lang_eq="en"),
         "bool_must_not": _bm25_sql(["table"], 10, must_all=True, must_not=["slow"]),
+        "bool_must_not_only": f"""
+{_BASE_CTE}
+SELECT rank, doc_id, score FROM (
+    SELECT row_number() OVER (ORDER BY doc_id ASC) AS rank, doc_id, 1.0 AS score
+    FROM ids
+    WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ('table'))
+) WHERE rank <= 10
+""",
         "bool_should": _bm25_sql(
             ["table"], 10, must_all=True, should=["fast", "merge"]
         ),

@@ -121,16 +121,23 @@ def main(argv: list[str] | None = None) -> int:
         kw_eq = [("lang", args.lang)] if args.lang else None
         kw_pre = [("path", args.path_prefix)] if args.path_prefix else None
         if args.must or args.must_not or args.should or kw_eq or kw_pre:
+            # --text combined with bool/keyword flags = the ES shape
+            # bool{must:[match text], filter:[...]} — the match clause becomes
+            # required should terms (OR-scored, minimum_should_match=1)
+            from librecatastro_ray.functions.tokenizer import tokenize
+
+            text_terms = tokenize(args.text) if args.text else []
             res = eng.bool_must(
                 list(args.must or []), k=args.k, keyword_eq=kw_eq,
                 keyword_prefix=kw_pre, must_not_terms=args.must_not,
-                should_terms=args.should, offset=args.offset,
+                should_terms=(list(args.should or []) + text_terms) or None,
+                require_should=bool(text_terms), offset=args.offset,
             )
         elif args.prefix is not None:
             res = eng.prefix_content(args.prefix, k=args.k)
         elif args.text is not None:
             res = (eng.match_wand if args.wand else eng.match)(
-                args.text, k=args.k, **({} if args.wand else {"offset": args.offset})
+                args.text, k=args.k, offset=args.offset
             )
         else:
             p.error("query needs --text, --must, --must-not, --should, "

@@ -525,6 +525,7 @@ class QueryEngine:
         must_not_terms: list[str] | None = None,
         should_terms: list[str] | None = None,
         offset: int = 0,
+        require_should: bool = False,
     ) -> pa.Table:
         """Q3: full bool query (reference: elasticsearch_utils.py:111-119 —
         the probe always carries must / should / must_not arrays, the latter
@@ -532,11 +533,23 @@ class QueryEngine:
         keyword clauses are constant-score 1.0 (ES filter-context rewrite);
         ``must_not`` terms exclude docs (sorted-set difference, no score);
         ``should`` terms add BM25 score to already-matching docs (pure-should
-        queries fall back to OR semantics, minimum_should_match=1).  Uses
+        queries fall back to OR semantics; ``require_should`` = ES
+        minimum_should_match=1, i.e. at least one should term must hit even
+        when must/keyword clauses exist).  A must_not-ONLY query is ES
+        match_all minus the exclusions (constant score 1.0).  Uses
         block-level skipping: after the rarest clause fixes the candidate
         set, other clauses only decode blocks whose doc range intersects it."""
         if not content_terms and not keyword_eq and not keyword_prefix and not should_terms:
-            return _empty_result()
+            if not must_not_terms:
+                return _empty_result()
+            # match_all minus exclusions
+            excluded = self._union_docs(list(must_not_terms))
+            all_docs = np.arange(self.n_docs, dtype=np.int64)
+            if excluded is not None:
+                all_docs = all_docs[~_in_sorted(all_docs, excluded)]
+            return self._topk_table(
+                all_docs, np.ones(len(all_docs), dtype=np.float64), k, offset
+            )
 
         dense = self.n_docs <= DENSE_ACC_LIMIT
         candidate: np.ndarray | None = None  # sorted unique ids (sparse path)
@@ -591,12 +604,13 @@ class QueryEngine:
                 kw_docs.append(d)
                 if shrink(d) == 0:
                     return _empty_result()
-        if n_cand < 0:
-            # pure-should query: OR over the should terms
+        if n_cand < 0 or (require_should and should_terms):
+            # pure-should (OR) — or minimum_should_match=1 with other clauses
             u = self._union_docs(list(should_terms or []))
             if u is None:
                 return _empty_result()
-            shrink(u)
+            if shrink(u) == 0:
+                return _empty_result()
         for term in must_not_terms or []:
             d, _f, _L = self.load_postings(term)
             if len(d) and exclude(d) == 0:
@@ -874,6 +888,7 @@ QUERY_INPUT_SCHEMA = pa.schema(
         ("keyword_prefix", pa.list_(pa.list_(pa.string()))),
         ("must_not_terms", pa.list_(pa.string())),
         ("should_terms", pa.list_(pa.string())),
+        ("require_should", pa.bool_()),
         ("k", pa.int64()),
         ("from", pa.int64()),
     ]
@@ -910,21 +925,22 @@ class SearchActor:
             k = int(row.get("k") or 10)
             offset = int(row.get("from") or 0)
             if kind == "match":
-                res = self.engine.match(row["text"], k, offset=offset)
+                res = self.engine.match(row.get("text") or "", k, offset=offset)
             elif kind == "bool_must":
                 res = self.engine.bool_must(
-                    list(row["must_terms"]),
+                    list(row.get("must_terms") or []),
                     k,
                     keyword_eq=[tuple(p) for p in row.get("keyword_eq") or []],
                     keyword_prefix=[tuple(p) for p in row.get("keyword_prefix") or []],
                     must_not_terms=list(row.get("must_not_terms") or []),
                     should_terms=list(row.get("should_terms") or []),
                     offset=offset,
+                    require_should=bool(row.get("require_should") or False),
                 )
             elif kind == "prefix_content":
-                res = self.engine.prefix_content(row["prefix"], k)
+                res = self.engine.prefix_content(row.get("prefix") or "", k)
             elif kind == "count":
-                n = self.engine.count(row["text"])
+                n = self.engine.count(row.get("text") or "")
                 out_qid.append(qid)
                 out_rank.append(0)
                 out_doc.append(-1)
@@ -1086,6 +1102,7 @@ class RangeEngine:
         keyword_prefix: list[tuple[str, str]] | None = None,
         must_not_terms: list[str] | None = None,
         should_terms: list[str] | None = None,
+        require_should: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Full bool query over the range: per-doc scores equal the global
         engine's exactly (contributions use GLOBAL df/avgdl), so partials
@@ -1118,8 +1135,14 @@ class RangeEngine:
                     should_hit[d - self.lo] = True
         if n_clauses > 0:
             ok = nt == n_clauses
+            if require_should and should_hit is not None:
+                ok = ok & should_hit  # minimum_should_match=1
         elif should_hit is not None:
             ok = should_hit  # pure-should: OR semantics
+        elif must_not_terms:
+            # match_all minus exclusions (constant score 1.0)
+            ok = np.ones(self.hi - self.lo, dtype=bool)
+            acc[:] = 1.0
         else:
             return self._EMPTY
         for term in must_not_terms or []:
@@ -1188,18 +1211,28 @@ class RangeEngine:
         return cached, len(cached)
 
 
-_PROCESS_RANGE_ENGINES: dict[tuple[str, int, int], "RangeEngine"] = {}
+from collections import OrderedDict as _OrderedDict
+
+_PROCESS_RANGE_ENGINES: "_OrderedDict[tuple[str, int, int], RangeEngine]" = _OrderedDict()
+# a long-lived worker executes tasks for many ranges over a session; each
+# cached RangeEngine pins its range-share of decoded postings, so bound the
+# set (LRU) to keep per-process memory at a few range-shares, not all of them
+_PROCESS_RANGE_ENGINES_CAP = 8
 
 
 def _process_range_engine(index_dir: str, lo: int, hi: int) -> "RangeEngine":
-    """One RangeEngine per (index_dir, range) per worker process — query
-    CHUNKS of the same range reuse the decoded range-share postings instead
-    of re-reading them per chunk (Ray reuses worker processes)."""
+    """One RangeEngine per (index_dir, range) per worker process (LRU-capped)
+    — query CHUNKS of the same range reuse the decoded range-share postings
+    instead of re-reading them per chunk (Ray reuses worker processes)."""
     key = (index_dir, lo, hi)
     rng = _PROCESS_RANGE_ENGINES.get(key)
     if rng is None:
         rng = RangeEngine(index_dir, lo, hi)
         _PROCESS_RANGE_ENGINES[key] = rng
+        while len(_PROCESS_RANGE_ENGINES) > _PROCESS_RANGE_ENGINES_CAP:
+            _PROCESS_RANGE_ENGINES.popitem(last=False)
+    else:
+        _PROCESS_RANGE_ENGINES.move_to_end(key)
     return rng
 
 
@@ -1218,22 +1251,23 @@ def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_c
             # ranges return the top (from + k); the merge slices the offset
             k = int(q.get("k") or 10) + int(q.get("from") or 0)
             if kind == "match":
-                docs, scores = rng.match(q["text"], min(k, k_cap))
+                docs, scores = rng.match(q.get("text") or "", min(k, k_cap))
             elif kind == "bool_must":
                 docs, scores = rng.bool_must(
-                    list(q["must_terms"]),
+                    list(q.get("must_terms") or []),
                     min(k, k_cap),
                     keyword_eq=[tuple(p) for p in q.get("keyword_eq") or []],
                     keyword_prefix=[tuple(p) for p in q.get("keyword_prefix") or []],
                     must_not_terms=list(q.get("must_not_terms") or []),
                     should_terms=list(q.get("should_terms") or []),
+                    require_should=bool(q.get("require_should") or False),
                 )
             elif kind == "prefix_content":
-                docs, _n = rng.prefix_union(q["prefix"])
+                docs, _n = rng.prefix_union(q.get("prefix") or "")
                 docs = docs[: min(k, k_cap)]  # constant score → lowest ids win
                 scores = np.ones(len(docs), dtype=np.float64)
             elif kind == "count":
-                _docs, n = rng.union_count(tokenize(q["text"]))
+                _docs, n = rng.union_count(tokenize(q.get("text") or ""))
                 docs = np.array([-1], dtype=np.int64)
                 scores = np.array([float(n)], dtype=np.float64)
             else:

@@ -104,15 +104,22 @@ def orders_by_segment(sf_dir: str) -> pa.Table:
             self.keys, self.segs = ray.get(lookup_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:
+            if len(batch) == 0 or len(self.keys) == 0:
                 return _SEGMENT_PARTIAL_SCHEMA.empty_table()
             ck = batch["o_custkey"].to_numpy()
             pos = np.searchsorted(self.keys, ck)
             pos[pos == len(self.keys)] = len(self.keys) - 1
-            seg = np.where(self.keys[pos] == ck, self.segs[pos], None)
+            matched = self.keys[pos] == ck
+            # inner-join semantics: orders without a customer row are dropped
+            # (matches the oracle's `orders JOIN customer`)
             t = pa.table(
-                {"c_mktsegment": pa.array(seg), "o_totalprice": batch["o_totalprice"]}
+                {
+                    "c_mktsegment": pa.array(self.segs[pos][matched]),
+                    "o_totalprice": batch["o_totalprice"].filter(pa.array(matched)),
+                }
             )
+            if len(t) == 0:
+                return _SEGMENT_PARTIAL_SCHEMA.empty_table()
             g = t.group_by("c_mktsegment", use_threads=False).aggregate(
                 [([], "count_all"), ("o_totalprice", "sum")]
             )

@@ -860,6 +860,8 @@ def ivf_build(sf_dir: str, n_cells: int = 8, index_dir: str | None = None) -> st
     import json
 
     path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(path)
+    src_fp = f"{st.st_size}:{st.st_mtime_ns}"
     if index_dir is None:
         key = hashlib.md5(
             f"{os.path.abspath(sf_dir)}:{n_cells}:v2".encode()
@@ -867,7 +869,13 @@ def ivf_build(sf_dir: str, n_cells: int = 8, index_dir: str | None = None) -> st
         index_dir = os.path.join(_IVF_CACHE_ROOT, key)
     marker = os.path.join(index_dir, "_DONE.json")
     if os.path.exists(marker):
-        return index_dir
+        import json
+
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("src_fp") == src_fp:
+            return index_dir
+        # embeddings changed under the cached index — rebuild, never serve stale
     import shutil
 
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -887,7 +895,11 @@ def ivf_build(sf_dir: str, n_cells: int = 8, index_dir: str | None = None) -> st
     np.save(os.path.join(index_dir, "centroids.npy"), centroids)
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"n_cells": int(len(centroids)), "source": os.path.abspath(path)}, f)
+        json.dump(
+            {"n_cells": int(len(centroids)), "source": os.path.abspath(path),
+             "src_fp": src_fp},
+            f,
+        )
     os.replace(tmp, marker)
     return index_dir
 

@@ -285,18 +285,21 @@ def _apply_ids_write(
 
 @ray.remote
 def _block_fp(block: pa.Table) -> str:
-    """Cheap content fingerprint of one corpus block: row count + first /
-    middle / last sha256 (already computed by add_sha_dl).  Makes the resume
-    plan CONTENT-aware — a corpus whose bytes changed but whose row/block
-    layout is identical no longer silently keeps stale part files."""
+    """Content fingerprint of one corpus block: md5 over the FULL sha256
+    column (already computed by add_sha_dl — ~64 B/row, so hashing every row
+    is microseconds per block).  Makes the resume plan CONTENT-aware: any
+    byte change in any row changes that row's sha and hence the block
+    fingerprint, so identical-layout content changes can no longer silently
+    keep stale part files."""
     import hashlib
 
     if len(block) == 0 or "sha256" not in block.column_names:
         return "empty"
-    sh = block["sha256"]
-    n = len(block)
-    key = f"{n}:{sh[0].as_py()}:{sh[n // 2].as_py()}:{sh[n - 1].as_py()}"
-    return hashlib.md5(key.encode()).hexdigest()
+    h = hashlib.md5(str(len(block)).encode())
+    for chunk in block["sha256"].chunks if isinstance(block["sha256"], pa.ChunkedArray) else [block["sha256"]]:
+        for v in chunk.to_pylist():
+            h.update((v or "").encode())
+    return h.hexdigest()
 
 
 def _bundle_refs(mat: ray.data.Dataset) -> list:

@@ -245,3 +245,85 @@ def test_scatter_output_dir_sink(built_index, engine, tmp_path):
     for qid in range(4):
         sub = t[t.query_id == qid].sort_values("rank")
         assert sub["doc_id"].tolist() == [r["doc_id"] for r in exp]
+
+
+def test_bool_must_not_only_is_match_all_minus(engine, oracle_small):
+    """Pure must_not = ES match_all minus the exclusions (constant score)."""
+    excluded = set(oracle_small.postings.get("def", {}))
+    got = engine.bool_must([], k=10**9, must_not_terms=["def"]).to_pylist()
+    exp_ids = [d for d in range(engine.n_docs) if d not in excluded]
+    assert [r["doc_id"] for r in got] == exp_ids
+    assert all(r["score"] == 1.0 for r in got)
+    # pagination applies
+    page = engine.bool_must([], k=5, offset=3, must_not_terms=["def"]).to_pylist()
+    assert [r["doc_id"] for r in page] == exp_ids[3:8]
+
+
+def test_require_should_is_minimum_should_match(engine):
+    """must + required-should(t) == must + must(t) in candidates AND scores
+    (single should term: same docs, same contribution sums)."""
+    a = engine.bool_must(["def"], k=10, should_terms=["return"], require_should=True).to_pylist()
+    b = engine.bool_must(["def", "return"], k=10).to_pylist()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+        (r["doc_id"], round(r["score"], 9)) for r in b
+    ]
+
+
+def test_scatter_must_not_only_and_require_should(built_index, engine):
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    index_dir, _ = built_index
+    queries = [
+        {"query_id": 0, "kind": "bool_must", "must_terms": [],
+         "must_not_terms": ["def"], "k": 7},
+        {"query_id": 1, "kind": "bool_must", "must_terms": ["def"],
+         "should_terms": ["return"], "require_should": True, "k": 10},
+    ]
+    got = batch_search_scatter(index_dir, queries, n_ranges=3)
+    rows = {0: [], 1: []}
+    for r in got.to_pylist():
+        rows[r["query_id"]].append(r)
+    exp0 = engine.bool_must([], k=7, must_not_terms=["def"]).to_pylist()
+    exp1 = engine.bool_must(
+        ["def"], k=10, should_terms=["return"], require_should=True
+    ).to_pylist()
+    for qid, exp in ((0, exp0), (1, exp1)):
+        assert [(r["rank"], r["doc_id"]) for r in rows[qid]] == [
+            (r["rank"], r["doc_id"]) for r in exp
+        ], qid
+
+
+def test_ivf_cache_invalidated_on_changed_embeddings(tmp_path):
+    import json
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import ivf_build
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rng = np.random.RandomState(1)
+    def write(seed):
+        r = np.random.RandomState(seed)
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array(range(64), pa.int64()),
+                "embedding": pa.array([r.randn(8).tolist() for _ in range(64)],
+                                      pa.list_(pa.float32())),
+            }),
+            str(sf / "embeddings.parquet"),
+        )
+    write(1)
+    idx = str(tmp_path / "ivf")
+    ivf_build(str(sf), n_cells=4, index_dir=idx)
+    cents1 = np.load(idx + "/centroids.npy")
+    fp1 = json.load(open(idx + "/_DONE.json"))["src_fp"]
+    write(2)  # same path, new content
+    ivf_build(str(sf), n_cells=4, index_dir=idx)
+    fp2 = json.load(open(idx + "/_DONE.json"))["src_fp"]
+    cents2 = np.load(idx + "/centroids.npy")
+    assert fp1 != fp2, "stale IVF cache served after embeddings changed"
+    assert not np.allclose(cents1, cents2)
