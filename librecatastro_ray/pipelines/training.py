@@ -1123,6 +1123,12 @@ class FrameSampler:
     FRAME_CHARS = 256
     MAX_FRAMES = 8
 
+    def __init__(self, real_decoder: bool = False):
+        # same honest-stub policy as DecodeStub: the real codec path is
+        # gated, the Ray plumbing is real
+        if real_decoder:
+            raise NotImplementedError("video/image codecs not available in this environment")
+
     @staticmethod
     def _frame_feature(frame: str) -> str:
         return hashlib.md5(frame.encode("utf-8")).hexdigest()

@@ -93,3 +93,10 @@ def test_multimodal_frames(tmp_path):
     assert got[2]["n_frames"] == 1
     assert got[2]["first_frame_md5"] == got[2]["last_frame_md5"]
     assert got[3]["n_frames"] == 8  # frame cap
+
+
+def test_frame_sampler_gates_real_decoder():
+    from librecatastro_ray.pipelines.training import FrameSampler
+
+    with pytest.raises(NotImplementedError):
+        FrameSampler(real_decoder=True)
