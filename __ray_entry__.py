@@ -684,14 +684,23 @@ SELECT event_type, b - k.k * INTERVAL '15 minutes' AS window_start,
 FROM e CROSS JOIN k
 GROUP BY 1, 2
 """,
+        # explicit (view_ts desc, view_event_id desc) tie-break instead of
+        # ASOF JOIN's arbitrary tied-row choice — mirrors the engine's
+        # merge_asof over (ts, event_id)-sorted frames exactly
         "asof_join_events": """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 views AS (SELECT event_id AS view_event_id, user_id, ts AS view_ts
-          FROM events WHERE event_type = 'view')
-SELECT c.event_id, c.user_id, c.ts, v.view_event_id, v.view_ts,
-       (epoch_us(c.ts) - epoch_us(v.view_ts))::BIGINT AS gap_us
-FROM clicks c ASOF JOIN views v
-  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+          FROM events WHERE event_type = 'view'),
+j AS (
+    SELECT c.event_id, c.user_id, c.ts, v.view_event_id, v.view_ts,
+           row_number() OVER (PARTITION BY c.event_id
+                              ORDER BY v.view_ts DESC, v.view_event_id DESC) AS rn
+    FROM clicks c JOIN views v
+      ON c.user_id = v.user_id AND v.view_ts <= c.ts
+)
+SELECT event_id, user_id, ts, view_event_id, view_ts,
+       (epoch_us(ts) - epoch_us(view_ts))::BIGINT AS gap_us
+FROM j WHERE rn = 1
 """,
         "token_counts_bpe": r"""
 SELECT doc_id,

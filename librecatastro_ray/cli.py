@@ -126,6 +126,11 @@ def main(argv: list[str] | None = None) -> int:
             # required should terms (OR-scored, minimum_should_match=1)
             from librecatastro_ray.functions.tokenizer import tokenize
 
+            if args.text and args.should:
+                p.error("--text and --should cannot be combined (the text match "
+                        "is required, should terms are optional — pass the text "
+                        "terms via --should explicitly if optional is intended)")
+                return 2
             text_terms = tokenize(args.text) if args.text else []
             res = eng.bool_must(
                 list(args.must or []), k=args.k, keyword_eq=kw_eq,
@@ -134,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
                 require_should=bool(text_terms), offset=args.offset,
             )
         elif args.prefix is not None:
-            res = eng.prefix_content(args.prefix, k=args.k)
+            res = eng.prefix_content(args.prefix, k=args.k, offset=args.offset)
         elif args.text is not None:
             res = (eng.match_wand if args.wand else eng.match)(
                 args.text, k=args.k, offset=args.offset

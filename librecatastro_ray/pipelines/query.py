@@ -700,7 +700,7 @@ class QueryEngine:
         order = np.argsort(docs, kind="stable")
         return docs[order], tfs[order], dls[order]
 
-    def prefix_content(self, prefix: str, k: int = 10) -> pa.Table:
+    def prefix_content(self, prefix: str, k: int = 10, offset: int = 0) -> pa.Table:
         """Q2 on the analyzed field: term-dictionary range scan → OR of
         postings, constant score 1.0.  Small expanded terms not already in
         the LRU batch into one ``term IN (...)`` read per (partition, salt)
@@ -730,7 +730,7 @@ class QueryEngine:
         docs = self._union_docs(via_cache, extra_docs=doc_parts)
         if docs is None:
             return _empty_result()
-        return self._topk_table(docs, np.ones(len(docs), dtype=np.float64), k)
+        return self._topk_table(docs, np.ones(len(docs), dtype=np.float64), k, offset)
 
     def _union_docs(
         self, terms: list[str], extra_docs: list[np.ndarray] | None = None
@@ -938,7 +938,7 @@ class SearchActor:
                     require_should=bool(row.get("require_should") or False),
                 )
             elif kind == "prefix_content":
-                res = self.engine.prefix_content(row.get("prefix") or "", k)
+                res = self.engine.prefix_content(row.get("prefix") or "", k, offset=offset)
             elif kind == "count":
                 n = self.engine.count(row.get("text") or "")
                 out_qid.append(qid)
@@ -968,16 +968,29 @@ class SearchActor:
 # §1.2, re-expressed for a corpus where no single worker can hold the index)
 # ---------------------------------------------------------------------------
 
-_PROCESS_ENGINES: dict[str, QueryEngine] = {}
+_PROCESS_ENGINES: dict[tuple, QueryEngine] = {}
+
+
+def _manifest_version(index_dir: str) -> tuple:
+    """Cheap identity of the index CONTENT at this path (manifest file
+    size + mtime) — a drop + rebuild at the same path must not be served
+    from a reused worker's cached engine/postings."""
+    from librecatastro_ray.state.manifest import manifest_path
+
+    st = os.stat(manifest_path(index_dir))
+    return (st.st_size, st.st_mtime_ns)
 
 
 def _process_engine(index_dir: str) -> QueryEngine:
-    """One QueryEngine per worker process, shared across range tasks — Ray
-    reuses worker processes, so dictionaries/block metadata load once."""
-    eng = _PROCESS_ENGINES.get(index_dir)
+    """One QueryEngine per worker process per index VERSION, shared across
+    range tasks — Ray reuses worker processes, so dictionaries/block
+    metadata load once; a rebuilt index gets a fresh engine."""
+    key = (index_dir, _manifest_version(index_dir))
+    eng = _PROCESS_ENGINES.get(key)
     if eng is None:
+        _PROCESS_ENGINES.clear()  # at most one engine per process path set
         eng = QueryEngine(index_dir)
-        _PROCESS_ENGINES[index_dir] = eng
+        _PROCESS_ENGINES[key] = eng
     return eng
 
 
@@ -1224,7 +1237,7 @@ def _process_range_engine(index_dir: str, lo: int, hi: int) -> "RangeEngine":
     """One RangeEngine per (index_dir, range) per worker process (LRU-capped)
     — query CHUNKS of the same range reuse the decoded range-share postings
     instead of re-reading them per chunk (Ray reuses worker processes)."""
-    key = (index_dir, lo, hi)
+    key = (index_dir, _manifest_version(index_dir), lo, hi)
     rng = _PROCESS_RANGE_ENGINES.get(key)
     if rng is None:
         rng = RangeEngine(index_dir, lo, hi)
@@ -1241,15 +1254,17 @@ def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_c
     top-k partials (plus per-range counts for count-kind queries)."""
     import json
 
-    qid_l, doc_l, score_l, kind_l = [], [], [], []
+    qid_l, doc_l, score_l, kind_l, k_l, frm_l = [], [], [], [], [], []
     for row in batch.to_pylist():
         rid = int(row["range_id"])
         lo, hi = bounds[rid], bounds[rid + 1]
         rng = _process_range_engine(index_dir, lo, hi)
         for q in json.loads(row["queries_json"]):
             qid, kind = q["query_id"], q["kind"]
+            q_k = int(q.get("k") or 10)
+            q_frm = int(q.get("from") or 0)
             # ranges return the top (from + k); the merge slices the offset
-            k = int(q.get("k") or 10) + int(q.get("from") or 0)
+            k = q_k + q_frm
             if kind == "match":
                 docs, scores = rng.match(q.get("text") or "", min(k, k_cap))
             elif kind == "bool_must":
@@ -1277,15 +1292,24 @@ def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_c
                 doc_l.append(docs)
                 score_l.append(scores)
                 kind_l.extend([kind] * len(docs))
+                # per-row k/from: the merge needs them and the query dict is
+                # in hand HERE — no driver-side query-id→k map shipped to
+                # every task (that map is workload-sized)
+                k_l.append(np.full(len(docs), q_k, dtype=np.int64))
+                frm_l.append(np.full(len(docs), q_frm, dtype=np.int64))
     if not qid_l:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64()),
-                         "kind": pa.array([], pa.string())})
+                         "kind": pa.array([], pa.string()),
+                         "k": pa.array([], pa.int64()),
+                         "from": pa.array([], pa.int64())})
     return pa.table({"query_id": pa.array(np.concatenate(qid_l), pa.int64()),
                      "doc_id": pa.array(np.concatenate(doc_l), pa.int64()),
                      "score": pa.array(np.concatenate(score_l), pa.float64()),
-                     "kind": pa.array(kind_l, pa.string())})
+                     "kind": pa.array(kind_l, pa.string()),
+                     "k": pa.array(np.concatenate(k_l), pa.int64()),
+                     "from": pa.array(np.concatenate(frm_l), pa.int64())})
 
 
 def _merge_query_group(group: pa.Table) -> pa.Table:
@@ -1333,6 +1357,10 @@ def batch_search_scatter(
     import ray.data
 
     if not queries:
+        if output_dir is not None:
+            os.makedirs(output_dir, exist_ok=True)
+            return pa.table({"rows_written": pa.array([0], pa.int64()),
+                             "output_dir": pa.array([output_dir], pa.string())})
         return pa.table(
             {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
              "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
@@ -1365,21 +1393,8 @@ def batch_search_scatter(
         batch_format="pyarrow",
         batch_size=1,
     )
-    ks = {int(q["query_id"]): int(q.get("k") or 10) for q in queries}
-    frms = {int(q["query_id"]): int(q.get("from") or 0) for q in queries}
-
-    def attach_k(batch: pa.Table) -> pa.Table:
-        qids = batch["query_id"].to_pylist()
-        batch = batch.append_column(
-            "k", pa.array([ks.get(int(q), 10) for q in qids], pa.int64())
-        )
-        return batch.append_column(
-            "from", pa.array([frms.get(int(q), 0) for q in qids], pa.int64())
-        )
-
     merged = (
-        partials.map_batches(attach_k, batch_format="pyarrow")
-        .groupby("query_id")
+        partials.groupby("query_id")
         .map_groups(_merge_query_group, batch_format="pyarrow")
     )
     if output_dir is not None:

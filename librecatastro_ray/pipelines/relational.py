@@ -314,8 +314,11 @@ def asof_join_events(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[g.event_type == "click"].sort_values("ts")
-        views = g[g.event_type == "view"].sort_values("ts")
+        # secondary event_id key: with merge_asof taking the LAST tied right
+        # row, ties on view_ts resolve to the max view_event_id —
+        # deterministic, and mirrored in the oracle's explicit tie-break
+        clicks = g[g.event_type == "click"].sort_values(["ts", "event_id"], kind="stable")
+        views = g[g.event_type == "view"].sort_values(["ts", "event_id"], kind="stable")
         empty = pd.DataFrame(
             {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
              "ts": pd.Series(dtype="datetime64[us]"),

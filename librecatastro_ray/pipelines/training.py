@@ -297,6 +297,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.62) -> pa.Table:
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id", ignore_index=True)
         if len(g) > _NGRAM_BUCKET_CAP:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: source bucket %r has %d docs; capped to "
+                "%d (smallest doc_ids) — pairs involving dropped docs are NOT "
+                "computed", str(g["source"].iloc[0]), len(g), _NGRAM_BUCKET_CAP,
+            )
             g = g.iloc[:_NGRAM_BUCKET_CAP]
         sets = [_gram_set_np((s or "").lower(), 3) for s in g["text"]]
         ids = g["doc_id"].to_numpy()

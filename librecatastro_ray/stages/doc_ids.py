@@ -296,9 +296,17 @@ def _block_fp(block: pa.Table) -> str:
     if len(block) == 0 or "sha256" not in block.column_names:
         return "empty"
     h = hashlib.md5(str(len(block)).encode())
-    for chunk in block["sha256"].chunks if isinstance(block["sha256"], pa.ChunkedArray) else [block["sha256"]]:
-        for v in chunk.to_pylist():
-            h.update((v or "").encode())
+    col = block["sha256"]
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        # shas are fixed-width (64 hex chars) non-null values, so the string
+        # column's packed data buffer slice IS the row-order concatenation —
+        # one md5 over the raw buffer, no per-row Python
+        offs = np.frombuffer(c.buffers()[1], dtype=np.int32, count=c.offset + len(c) + 1)
+        data = np.frombuffer(c.buffers()[2], dtype=np.uint8)
+        h.update(data[offs[c.offset] : offs[c.offset + len(c)]].tobytes())
     return h.hexdigest()
 
 

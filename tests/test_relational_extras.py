@@ -100,3 +100,44 @@ def test_frame_sampler_gates_real_decoder():
 
     with pytest.raises(NotImplementedError):
         FrameSampler(real_decoder=True)
+
+
+def test_asof_tie_break_is_deterministic(tmp_path):
+    """Two prior views at the SAME timestamp: the max view_event_id wins
+    (the explicit tie-break mirrored in the SQL oracle)."""
+    us = 1_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array(np.array([100, 100, 200], dtype="int64") * us, pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "event_type": pa.array(["view", "view", "click"], pa.string()),
+            "value": pa.array([1.0] * 3, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from librecatastro_ray.pipelines.relational import asof_join_events
+
+    out = asof_join_events(str(tmp_path)).to_pylist()
+    assert len(out) == 1
+    assert out[0]["view_event_id"] == 1  # max event_id among the ts ties
+
+
+def test_scatter_sink_empty_queries(built_index, tmp_path):
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    index_dir, _ = built_index
+    out = batch_search_scatter(index_dir, [], n_ranges=2, output_dir=str(tmp_path / "o"))
+    assert out.to_pylist() == [{"rows_written": 0, "output_dir": str(tmp_path / "o")}]
+
+
+def test_prefix_content_offset(built_index):
+    from librecatastro_ray.pipelines.query import QueryEngine
+
+    index_dir, _ = built_index
+    eng = QueryEngine(index_dir)
+    full = eng.prefix_content("de", k=10**9).to_pylist()
+    page = eng.prefix_content("de", k=4, offset=2).to_pylist()
+    assert [(r["rank"], r["doc_id"]) for r in page] == [
+        (r["rank"], r["doc_id"]) for r in full[2:6]
+    ]
