@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.doc_fingerprints,  # rows-only (order-sensitive rolling hash)
         # --- deduplication family
         "dedup_exact": T.exact_dedup,
+        # composite curation: dedup winners ∩ quality thresholds ∩ lang filter
+        "curate_corpus": T.curate_corpus,
         "dedup_ngram_jaccard": lambda sf: T.ngram_jaccard_pairs(sf, 0.62),
         "dedup_minhash_lsh": lambda sf: T.minhash_lsh_candidates(sf, 0.6),
         "dedup_near_clusters": lambda sf: T.near_dup_clusters(sf, 0.6),
@@ -540,6 +542,46 @@ SELECT sha256(coalesce(text, '')) AS sha256,
        min(doc_id)::BIGINT AS doc_id_keep,
        count(*)::BIGINT AS n_dups
 FROM documents GROUP BY 1
+""",
+        "curate_corpus": rf"""
+WITH f AS (
+    SELECT doc_id, coalesce(text, '') AS t, lower(coalesce(text, '')) AS lt
+    FROM documents
+),
+m AS (
+    SELECT doc_id, sha256(t) AS sha,
+           length(t)::BIGINT AS n_chars,
+           len(regexp_extract_all(lt, '[a-z0-9_]+'))::BIGINT AS n_tokens,
+           length(regexp_replace(lt, '[^a-z0-9_]', '', 'g'))::BIGINT AS alpha_chars,
+           length(regexp_replace(t, '[^\s]', '', 'g'))::BIGINT AS ws_chars,
+           len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
+                           x -> x IN ({_sql_list(STOP_SQL)})))::BIGINT AS n_stop,
+           len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
+                           x -> x IN ({_sql_list(LANG_SQL["de"])})))::BIGINT AS c_de,
+           len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
+                           x -> x IN ({_sql_list(LANG_SQL["en"])})))::BIGINT AS c_en,
+           len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
+                           x -> x IN ({_sql_list(LANG_SQL["es"])})))::BIGINT AS c_es,
+           len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
+                           x -> x IN ({_sql_list(LANG_SQL["fr"])})))::BIGINT AS c_fr
+    FROM f
+),
+r AS (
+    SELECT doc_id, sha, n_tokens,
+           round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
+           round(CASE WHEN n_chars > 0 THEN (n_chars - alpha_chars - ws_chars)::DOUBLE / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+           CASE WHEN c_de = 0 AND c_en = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM m
+),
+w AS (SELECT sha, min(doc_id) AS keep_id FROM m GROUP BY sha)
+SELECT r.doc_id, r.lang_pred, r.n_tokens
+FROM r JOIN w ON r.sha = w.sha
+WHERE r.doc_id = w.keep_id AND r.n_tokens >= 10
+  AND r.stop_ratio <= 0.9 AND r.punct_ratio <= 0.3 AND r.lang_pred <> 'und'
 """,
         "dedup_ngram_jaccard": """
 WITH g AS (

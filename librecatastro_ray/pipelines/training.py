@@ -1214,3 +1214,86 @@ def near_dup_clusters(sf_dir: str, verify_threshold: float = 0.6) -> pa.Table:
         }
     )
     return out
+
+
+def curate_corpus(
+    sf_dir: str,
+    min_tokens: int = 10,
+    max_stop_ratio: float = 0.9,
+    max_punct_ratio: float = 0.3,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """The composite training-data CURATION pipeline: one streaming pass
+    computes per-doc sha256 + quality features + language id, exact-dedup
+    winners come from a vectorized groupby-min on the sha, and the winner
+    flag joins back by sha (native hash join) — a doc survives iff it is
+    its content's smallest doc_id AND clears the quality thresholds AND has
+    a recognized language.  Output: (doc_id, lang_pred, n_tokens,
+    keep_reason-less curated set).  Everything distributed; nothing
+    corpus-sized on the driver (the curated TABLE returned here is for the
+    oracle gate — at scale the tail call is .write_parquet)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    langs = sorted(LANG_MARKERS)
+
+    def features(batch: pa.Table) -> pa.Table:
+        text_raw = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray) else batch["text"]
+        text = pc.fill_null(text_raw, "")
+        low = pc.utf8_lower(text)
+        n_chars = pc.utf8_length(text).to_numpy().astype(np.int64)
+        n_tokens = _re_count(low, _TOKEN_COUNT_RE)
+        alpha_chars = _re_count(low, _ALPHA_CHAR_RE)
+        ws_chars = _re_count(text, r"\s")
+        n_stop = _re_count(low, _alt(STOPWORDS))
+        tok_div = np.where(n_tokens > 0, n_tokens, 1)
+        chr_div = np.where(n_chars > 0, n_chars, 1)
+        stop_ratio = np.round(np.where(n_tokens > 0, n_stop / tok_div, 0.0), 6)
+        punct_ratio = np.round(
+            np.where(n_chars > 0, (n_chars - alpha_chars - ws_chars) / chr_div, 0.0), 6
+        )
+        counts = np.stack([_re_count(low, _alt(LANG_MARKERS[g])) for g in langs], axis=1)
+        best = np.array(langs, dtype=object)[np.argmax(counts, axis=1)]
+        best[counts.max(axis=1) == 0] = "und"
+        sha = [hashlib.sha256((s or "").encode()).hexdigest() for s in text_raw.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sha256": pa.array(sha, pa.string()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "stop_ratio": pa.array(stop_ratio, pa.float64()),
+                "punct_ratio": pa.array(punct_ratio, pa.float64()),
+                "lang_pred": pa.array(best, pa.string()),
+            }
+        )
+
+    if num_partitions is None:
+        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
+    feats = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        features, batch_format="pyarrow", batch_size=4096
+    ).materialize()  # consumed twice (dedup-min side + join side); never text
+    winners = feats.groupby("sha256").aggregate(Min("doc_id", alias_name="keep_id"))
+    joined = feats.join(winners, "inner", num_partitions, on=("sha256",))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = (
+            pc.and_(
+                pc.and_(
+                    pc.equal(t["doc_id"], t["keep_id"]),
+                    pc.greater_equal(t["n_tokens"], min_tokens),
+                ),
+                pc.and_(
+                    pc.and_(
+                        pc.less_equal(t["stop_ratio"], max_stop_ratio),
+                        pc.less_equal(t["punct_ratio"], max_punct_ratio),
+                    ),
+                    pc.not_equal(t["lang_pred"], "und"),
+                ),
+            )
+        )
+        return t.filter(m).select(["doc_id", "lang_pred", "n_tokens"])
+
+    out = joined.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id", ignore_index=True), preserve_index=False)
