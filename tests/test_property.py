@@ -1,0 +1,98 @@
+"""Property-based and randomized-conformance tests: vectorized kernels vs
+their obviously-correct scalar counterparts, and a randomized query sweep
+against the pure-Python oracle."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from librecatastro_ray.functions.bm25 import topk_indices
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=0, max_size=200),
+    st.integers(min_value=0, max_value=50),
+)
+def test_topk_indices_matches_naive_lexsort(scores, k):
+    scores = np.asarray(scores, dtype=np.float64)
+    doc_ids = np.arange(len(scores), dtype=np.int64)[::-1].copy()  # non-trivial ids
+    got = topk_indices(scores, doc_ids, k)
+    order = np.lexsort((doc_ids, -scores))[: min(k, len(scores))]
+    assert list(got) == list(order)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=60), st.text(max_size=60))
+def test_gram_set_np_matches_char_ngrams(a, b):
+    from librecatastro_ray.pipelines.training import _char_ngrams, _gram_set_np
+
+    for n in (3, 4):
+        sa_np, sb_np = _gram_set_np(a, n), _gram_set_np(b, n)
+        sa, sb = _char_ngrams(a, n), _char_ngrams(b, n)
+        assert len(sa_np) == len(sa)
+        inter = np.intersect1d(sa_np, sb_np, assume_unique=True).size
+        assert inter == len(sa & sb), (a, b, n)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(max_codepoint=0x2FFF), max_size=120))
+def test_fingerprint_property(text):
+    import pyarrow as pa
+
+    from librecatastro_ray.functions.hashing import term_hash
+    from librecatastro_ray.functions.tokenizer import tokenize
+    from librecatastro_ray.pipelines.training import _fingerprint_batch
+
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+    h = 0
+    for tok in tokenize(text):
+        h = (h * BASE + term_hash(tok)) % MOD
+    got = _fingerprint_batch(pa.array([text], pa.string()))
+    assert int(got[0]) == h
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(min_size=1, max_size=30, alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF)))
+def test_prefix_upper_bound_property(value):
+    from librecatastro_ray.pipelines.query import _prefix_upper_bound
+
+    ub = _prefix_upper_bound(value)
+    if ub is None:
+        assert all(ord(c) >= 0x10FFFF for c in value)
+        return
+    assert value < ub
+    # every string with this prefix sorts below the bound
+    for suffix in ("", "a", "￿", "zzz"):
+        assert value + suffix < ub
+
+
+def test_randomized_query_conformance(engine_and_oracle):
+    """50 random match / bool queries: engine vs the pure-Python oracle,
+    rank- and score-identical."""
+    engine, oracle = engine_and_oracle
+    rng = np.random.RandomState(99)
+    vocab = sorted(oracle.postings)[:60]
+    for i in range(50):
+        nt = 1 + rng.randint(3)
+        terms = [vocab[rng.randint(len(vocab))] for _ in range(nt)]
+        k = int(1 + rng.randint(15))
+        if i % 3 == 0:
+            got = engine.match(" ".join(terms), k).to_pylist()
+            exp = oracle.match(" ".join(terms), k)
+        else:
+            got = engine.bool_must(list(dict.fromkeys(terms)), k).to_pylist()
+            exp = oracle.bool_must(list(dict.fromkeys(terms)), k)
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp], (i, terms)
+        for row, (_, s) in zip(got, exp):
+            assert abs(row["score"] - s) < 1e-9, (i, terms)
+
+
+@pytest.fixture(scope="module")
+def engine_and_oracle(built_index, oracle_small):
+    from librecatastro_ray.pipelines.query import QueryEngine
+
+    index_dir, _ = built_index
+    return QueryEngine(index_dir), oracle_small
