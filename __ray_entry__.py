@@ -423,6 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": R.events_sliding,
         "asof_join_events": R.asof_join_events,
         "filter_project_lineitem": R.filter_project_lineitem,
+        # B11 geometry filter (point-in-convex-polygon, synthetic coords)
+        "geo_filter_events": R.geo_filter_events,
     }
 
 
@@ -757,6 +759,21 @@ SELECT doc_id, n_frames,
        CASE WHEN n_frames > 0 THEN md5(substr(t, 1, 256)) END AS first_frame_md5,
        CASE WHEN n_frames > 0 THEN md5(substr(t, 1 + (n_frames - 1) * 256, 256)) END AS last_frame_md5
 FROM m
+""",
+        "geo_filter_events": """
+WITH pts AS (
+    SELECT event_id,
+           ((user_id * 7919 + event_id) % 36000) / 100.0 - 180.0 AS lon,
+           ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat
+    FROM events
+)
+SELECT event_id, round(lon, 6) AS lon, round(lat, 6) AS lat
+FROM pts
+WHERE ((5.0 - -10.0) * (lat - 35.0) - (35.0 - 35.0) * (lon - -10.0)) >= 0.0
+  AND ((10.0 - 5.0) * (lat - 35.0) - (45.0 - 35.0) * (lon - 5.0)) >= 0.0
+  AND ((0.0 - 10.0) * (lat - 45.0) - (50.0 - 45.0) * (lon - 10.0)) >= 0.0
+  AND ((-10.0 - 0.0) * (lat - 50.0) - (45.0 - 50.0) * (lon - 0.0)) >= 0.0
+  AND ((-10.0 - -10.0) * (lat - 45.0) - (35.0 - 45.0) * (lon - -10.0)) >= 0.0
 """,
         "filter_project_lineitem": """
 SELECT l_orderkey,

@@ -420,3 +420,47 @@ def events_sliding(sf_dir: str) -> pa.Table:
     )
     i = t.schema.get_field_index("window_start")
     return t.set_column(i, "window_start", t["window_start"].cast(pa.timestamp("us")))
+
+
+# B11 geo filter: a fixed convex test polygon (ccw) — the reference filters
+# scraped coordinates by province polygons (reference:
+# src/librecatastro/scrapping/searchers/geo_polygon.py:36-44); the engine
+# re-expresses containment as vectorized cross-product arithmetic.
+GEO_POLYGON = [(-10.0, 35.0), (5.0, 35.0), (10.0, 45.0), (0.0, 50.0), (-10.0, 45.0)]
+
+
+def geo_filter_events(sf_dir: str) -> ray.data.Dataset:
+    """Point-in-convex-polygon filter (SURVEY §2 B11): each event gets a
+    DETERMINISTIC synthetic coordinate (derived from its ids — the testdata
+    carries no geo tier), then a vectorized half-plane test against the ccw
+    polygon keeps inside points.  Cross products in numpy over Arrow
+    batches; the same arithmetic is the SQL oracle."""
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity with siblings)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.schema(
+                [("event_id", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64())]
+            ).empty_table()
+        eid = batch["event_id"].to_numpy()
+        uid = batch["user_id"].to_numpy()
+        lon = ((uid * 7919 + eid) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 18000) / 100.0 - 90.0
+        inside = np.ones(len(eid), dtype=bool)
+        n = len(GEO_POLYGON)
+        for i in range(n):
+            x1, y1 = GEO_POLYGON[i]
+            x2, y2 = GEO_POLYGON[(i + 1) % n]
+            cross = (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)
+            inside &= cross >= 0.0
+        return pa.table(
+            {
+                "event_id": pa.array(eid[inside], pa.int64()),
+                "lon": pa.array(np.round(lon[inside], 6), pa.float64()),
+                "lat": pa.array(np.round(lat[inside], 6), pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=65536
+    )
