@@ -769,11 +769,11 @@ WITH pts AS (
 )
 SELECT event_id, round(lon, 6) AS lon, round(lat, 6) AS lat
 FROM pts
-WHERE ((5.0 - -10.0) * (lat - 35.0) - (35.0 - 35.0) * (lon - -10.0)) >= 0.0
-  AND ((10.0 - 5.0) * (lat - 35.0) - (45.0 - 35.0) * (lon - 5.0)) >= 0.0
-  AND ((0.0 - 10.0) * (lat - 45.0) - (50.0 - 45.0) * (lon - 10.0)) >= 0.0
-  AND ((-10.0 - 0.0) * (lat - 50.0) - (45.0 - 50.0) * (lon - 0.0)) >= 0.0
-  AND ((-10.0 - -10.0) * (lat - 45.0) - (35.0 - 45.0) * (lon - -10.0)) >= 0.0
+WHERE ((60.0 - -90.0) * (lat - -45.0) - (-45.0 - -45.0) * (lon - -90.0)) >= 0.0
+  AND ((90.0 - 60.0) * (lat - -45.0) - (30.0 - -45.0) * (lon - 60.0)) >= 0.0
+  AND ((0.0 - 90.0) * (lat - 30.0) - (60.0 - 30.0) * (lon - 90.0)) >= 0.0
+  AND ((-90.0 - 0.0) * (lat - 60.0) - (30.0 - 60.0) * (lon - 0.0)) >= 0.0
+  AND ((-90.0 - -90.0) * (lat - 30.0) - (-45.0 - 30.0) * (lon - -90.0)) >= 0.0
 """,
         "filter_project_lineitem": """
 SELECT l_orderkey,

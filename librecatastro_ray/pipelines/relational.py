@@ -426,7 +426,7 @@ def events_sliding(sf_dir: str) -> pa.Table:
 # scraped coordinates by province polygons (reference:
 # src/librecatastro/scrapping/searchers/geo_polygon.py:36-44); the engine
 # re-expresses containment as vectorized cross-product arithmetic.
-GEO_POLYGON = [(-10.0, 35.0), (5.0, 35.0), (10.0, 45.0), (0.0, 50.0), (-10.0, 45.0)]
+GEO_POLYGON = [(-90.0, -45.0), (60.0, -45.0), (90.0, 30.0), (0.0, 60.0), (-90.0, 30.0)]
 
 
 def geo_filter_events(sf_dir: str) -> ray.data.Dataset:
