@@ -103,3 +103,29 @@ def encode_doc_block(doc_ids: np.ndarray) -> bytes:
 
 def decode_doc_block(buf: bytes) -> np.ndarray:
     return delta_decode(varbyte_decode(buf))
+
+
+def binary_column_payload(col) -> np.ndarray:
+    """Concatenated cell payloads of an Arrow binary/string column as a uint8
+    view — zero copy per chunk.  By the Arrow layout, cell i occupies
+    ``data[offsets[i]:offsets[i+1]]``, so the row-order concatenation of all
+    cells is exactly ``data[offsets[0]:offsets[n]]`` (no per-cell Python
+    objects, unlike ``b"".join(col.to_pylist())``).  Used by the posting
+    block decoder and the resume fingerprints."""
+    import pyarrow as pa
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts: list[np.ndarray] = []
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        offs = np.frombuffer(c.buffers()[1], dtype=np.int32, count=c.offset + len(c) + 1)
+        data = (
+            np.frombuffer(c.buffers()[2], dtype=np.uint8)
+            if c.buffers()[2] is not None
+            else np.zeros(0, np.uint8)
+        )
+        parts.append(data[offs[c.offset] : offs[c.offset + len(c)]])
+    if not parts:
+        return np.zeros(0, dtype=np.uint8)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)

@@ -74,6 +74,10 @@ def corpus_fingerprint(path: str) -> str:
     import hashlib
 
     h = hashlib.sha256()
+    if os.path.isfile(path):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        return h.hexdigest()
     for root, _dirs, files in sorted(os.walk(path)):
         for f in sorted(files):
             if f.endswith(".parquet"):

@@ -94,23 +94,7 @@ def _in_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     return sorted_set[idx] == values
 
 
-def _binary_payload(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Concatenated cell payloads of a binary column as a uint8 view — zero
-    copy per chunk.  By the Arrow layout, cell i of a BinaryArray occupies
-    ``data[offsets[i]:offsets[i+1]]``, so the row-order concatenation of all
-    cells is exactly ``data[offsets[0]:offsets[n]]`` (no per-cell Python
-    objects, unlike ``b"".join(col.to_pylist())``)."""
-    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    parts: list[np.ndarray] = []
-    for c in chunks:
-        if len(c) == 0:
-            continue
-        offs = np.frombuffer(c.buffers()[1], dtype=np.int32, count=c.offset + len(c) + 1)
-        data = np.frombuffer(c.buffers()[2], dtype=np.uint8) if c.buffers()[2] is not None else np.zeros(0, np.uint8)
-        parts.append(data[offs[c.offset] : offs[c.offset + len(c)]])
-    if not parts:
-        return np.zeros(0, dtype=np.uint8)
-    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+from librecatastro_ray.functions.codec import binary_column_payload as _binary_payload  # noqa: E402
 
 
 def decode_blocks_table(bt: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -160,7 +144,12 @@ class QueryEngine:
         self._blockmeta_cache: dict[tuple[str, int], tuple | None] = {}
         self._prefix_cache: dict[str, list[str]] = {}
         self._df_maps: dict[tuple[int, int], dict[str, int]] = {}
-        self._keyword_cache: dict[tuple[str, str, bool], np.ndarray] = {}
+        # keyword-clause results LRU, BYTE-bounded: one entry can be
+        # O(n_docs) ids (e.g. lang=en over half the corpus), so an
+        # entry-count cap alone would commit unbounded memory
+        self._keyword_cache: OrderedDict[tuple[str, str, bool], np.ndarray] = OrderedDict()
+        self._keyword_cache_size = 0
+        self._keyword_cache_cap = 20_000_000  # entries (~160 MB int64)
 
     # ---------------- internals ----------------
 
@@ -629,8 +618,13 @@ class QueryEngine:
             doc_arrays.append(docs[mask])
             score_arrays.append(contrib)
         for d in kw_docs:
-            doc_arrays.append(d)
-            score_arrays.append(np.ones(len(d), dtype=np.float64))
+            # mask to the final candidate set: a keyword clause can match a
+            # corpus-scale doc set, and the sparse path's unique/bincount
+            # would otherwise sort it all just to discard it at the end
+            mask = cand_flags[d] if dense else _in_sorted(d, final)
+            dm = d[mask]
+            doc_arrays.append(dm)
+            score_arrays.append(np.ones(len(dm), dtype=np.float64))
         for term in should_terms or []:
             d, s = self._term_contribution(term)
             if len(d) == 0:
@@ -845,6 +839,7 @@ class QueryEngine:
         ck = (field_name, value, prefix)
         cached = self._keyword_cache.get(ck)
         if cached is not None:
+            self._keyword_cache.move_to_end(ck)
             return cached
         ds = self._docstats_ds()
         if prefix:
@@ -860,8 +855,11 @@ class QueryEngine:
         else:
             t = ds.to_table(columns=["doc_id"], filter=pads.field(field_name) == value)
         out = np.sort(t["doc_id"].to_numpy())
-        if len(self._keyword_cache) < 10_000:
-            self._keyword_cache[ck] = out
+        self._keyword_cache[ck] = out
+        self._keyword_cache_size += len(out)
+        while self._keyword_cache_size > self._keyword_cache_cap and len(self._keyword_cache) > 1:
+            _, old_arr = self._keyword_cache.popitem(last=False)
+            self._keyword_cache_size -= len(old_arr)
         return out
 
     def hydrate(self, doc_ids: np.ndarray | list[int]) -> pa.Table:
@@ -1400,13 +1398,25 @@ def batch_search_scatter(
     if output_dir is not None:
         # streaming sink for workloads whose RESULT is large (many queries ×
         # k rows): results go block-per-file to partitioned parquet instead
-        # of materializing on the driver
+        # of materializing on the driver.  Ray's write_parquet APPENDS into
+        # an existing dir — wipe first so a rerun never mixes stale files
+        import shutil
+
+        shutil.rmtree(output_dir, ignore_errors=True)
         merged.write_parquet(output_dir)
         n = int(
             pads.dataset(output_dir, format="parquet").count_rows()
         )
         return pa.table({"rows_written": pa.array([n], pa.int64()),
                          "output_dir": pa.array([output_dir], pa.string())})
-    t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    df = merged.to_pandas()
+    if len(df) == 0 or "query_id" not in df.columns:
+        # every query zero-hit (or paged past its results): an all-empty
+        # Dataset loses its schema through to_pandas — return the typed shape
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+    t = pa.Table.from_pandas(df, preserve_index=False)
     order = pc.sort_indices(t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
     return t.take(order)

@@ -355,6 +355,14 @@ def asof_join_events(sf_dir: str) -> pa.Table:
         .map_groups(per_user, batch_format="pandas")
         .to_pandas()
     )
+    if len(out) == 0 or "event_id" not in out.columns:
+        # zero clicks/views anywhere: an all-empty Dataset loses its schema
+        # through to_pandas — return the typed empty shape
+        return pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("ts", pa.timestamp("us")), ("view_event_id", pa.int64()),
+             ("view_ts", pa.timestamp("us")), ("gap_us", pa.int64())]
+        ).empty_table()
     t = pa.Table.from_pandas(
         out.sort_values("event_id", ignore_index=True), preserve_index=False
     )

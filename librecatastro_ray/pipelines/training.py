@@ -544,14 +544,24 @@ def minhash_lsh_candidates(
     )
 
     if big_keys:
-        big_ref = ray.put(big_keys)
+        # pack (band, bucket) into one int64 (wraparound-consistent on both
+        # sides) → vectorized sorted-membership, no per-row Python even when
+        # a degenerate bucket exists
+        def pack(band: np.ndarray, bucket: np.ndarray) -> np.ndarray:
+            return band.astype(np.int64) * np.int64(0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF) + bucket.astype(np.int64)
+
+        big_arr = np.sort(pack(
+            np.array([b for b, _ in big_keys], dtype=np.int64),
+            np.array([k for _, k in big_keys], dtype=np.int64),
+        ))
+        big_ref = ray.put(big_arr)
 
         def split(t: pa.Table, keep_big: bool) -> pa.Table:
             keys = ray.get(big_ref)
-            mask = np.fromiter(
-                ((b, k) in keys for b, k in zip(t["band"].to_pylist(), t["bucket"].to_pylist())),
-                dtype=bool, count=len(t),
-            )
+            packed = pack(t["band"].to_numpy(), t["bucket"].to_numpy())
+            pos = np.searchsorted(keys, packed)
+            pos[pos == len(keys)] = len(keys) - 1
+            mask = keys[pos] == packed
             return t.filter(pa.array(mask if keep_big else ~mask))
 
         normal = bands.map_batches(lambda t: split(t, False), batch_format="pyarrow")
@@ -762,9 +772,7 @@ def _load_norm_row_group(path: str, group: int) -> tuple[np.ndarray, np.ndarray]
     t = pq.ParquetFile(path).read_row_group(group, columns=["vec_id", "embedding"])
     vids = t["vec_id"].to_numpy()
     E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    n = np.linalg.norm(E, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    return vids, E / n
+    return vids, _normalize_rows(E)
 
 
 def _block_pair_cosine(batch: pa.Table, *, path: str, threshold: float) -> pa.Table:
@@ -886,8 +894,6 @@ def ivf_build(sf_dir: str, n_cells: int = 8, index_dir: str | None = None) -> st
         index_dir = os.path.join(_IVF_CACHE_ROOT, key)
     marker = os.path.join(index_dir, "_DONE.json")
     if os.path.exists(marker):
-        import json
-
         with open(marker) as f:
             meta = json.load(f)
         if meta.get("src_fp") == src_fp:
@@ -921,7 +927,7 @@ def ivf_build(sf_dir: str, n_cells: int = 8, index_dir: str | None = None) -> st
     return index_dir
 
 
-def _ivf_cells_ds(index_dir: str, cells: list[int]) -> ray.data.Dataset:
+def _ivf_cells_ds(index_dir: str, cells: list[int]) -> ray.data.Dataset | None:
     """Dataset over ONLY the probed cell partitions, with the cell id
     re-attached as a column (partition-directory reads — the nprobe IO
     bound is the whole point of IVF)."""
@@ -940,7 +946,9 @@ def _ivf_cells_ds(index_dir: str, cells: list[int]) -> ray.data.Dataset:
         )
         parts.append(sub)
     if not parts:
-        raise FileNotFoundError(f"no probed cell partitions under {index_dir}")
+        if not os.path.isdir(os.path.join(index_dir, "cells")):
+            raise FileNotFoundError(f"no IVF index under {index_dir}")
+        return None  # every probed cell is empty (a centroid attracted 0 vectors)
     return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
 
@@ -988,8 +996,11 @@ def ivf_search_batch(
     cells = [np.argsort(-(centroids @ q))[:nprobe] for q in Qn]
     needed = sorted({int(c) for cc in cells for c in cc})
     queries_ref = ray.put((np.asarray(qids), Qn, cells))
+    cells_ds = _ivf_cells_ds(index_dir, needed)
+    if cells_ds is None:
+        return {int(q): [] for q in qids}
     partials = (
-        _ivf_cells_ds(index_dir, needed)
+        cells_ds
         .map_batches(
             _IvfScorer,
             fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},

@@ -295,18 +295,13 @@ def _block_fp(block: pa.Table) -> str:
 
     if len(block) == 0 or "sha256" not in block.column_names:
         return "empty"
+    from librecatastro_ray.functions.codec import binary_column_payload
+
+    # shas are fixed-width (64 hex chars) non-null values, so the packed
+    # buffer payload IS the row-order concatenation — one md5, no per-row
+    # Python
     h = hashlib.md5(str(len(block)).encode())
-    col = block["sha256"]
-    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    for c in chunks:
-        if len(c) == 0:
-            continue
-        # shas are fixed-width (64 hex chars) non-null values, so the string
-        # column's packed data buffer slice IS the row-order concatenation —
-        # one md5 over the raw buffer, no per-row Python
-        offs = np.frombuffer(c.buffers()[1], dtype=np.int32, count=c.offset + len(c) + 1)
-        data = np.frombuffer(c.buffers()[2], dtype=np.uint8)
-        h.update(data[offs[c.offset] : offs[c.offset + len(c)]].tobytes())
+    h.update(binary_column_payload(block["sha256"]).tobytes())
     return h.hexdigest()
 
 

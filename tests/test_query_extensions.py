@@ -327,3 +327,30 @@ def test_ivf_cache_invalidated_on_changed_embeddings(tmp_path):
     cents2 = np.load(idx + "/centroids.npy")
     assert fp1 != fp2, "stale IVF cache served after embeddings changed"
     assert not np.allclose(cents1, cents2)
+
+
+def test_scatter_all_zero_hit_queries(built_index):
+    """Every query zero-hit (or paged past its results): typed empty result,
+    no ArrowInvalid from the schema-less empty Dataset."""
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    index_dir, _ = built_index
+    out = batch_search_scatter(
+        index_dir,
+        [{"query_id": 0, "kind": "match", "text": "zzz_no_such_term", "k": 5},
+         {"query_id": 1, "kind": "match", "text": "def", "k": 5, "from": 10**6}],
+        n_ranges=2,
+    )
+    assert len(out) == 0
+    assert out.column_names == ["query_id", "rank", "doc_id", "score"]
+
+
+def test_scatter_sink_rerun_overwrites(built_index, tmp_path):
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    index_dir, _ = built_index
+    q = [{"query_id": 0, "kind": "match", "text": "def", "k": 5}]
+    od = str(tmp_path / "res")
+    a = batch_search_scatter(index_dir, q, n_ranges=2, output_dir=od)
+    b = batch_search_scatter(index_dir, q, n_ranges=2, output_dir=od)
+    assert a["rows_written"][0].as_py() == b["rows_written"][0].as_py() == 5

@@ -141,3 +141,21 @@ def test_prefix_content_offset(built_index):
     assert [(r["rank"], r["doc_id"]) for r in page] == [
         (r["rank"], r["doc_id"]) for r in full[2:6]
     ]
+
+
+def test_asof_no_clicks_returns_typed_empty(tmp_path):
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array(np.array([1, 2], dtype="int64") * 10**12, pa.timestamp("us")),
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["error", "error"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from librecatastro_ray.pipelines.relational import asof_join_events
+
+    out = asof_join_events(str(tmp_path))
+    assert len(out) == 0
+    assert out.column_names == ["event_id", "user_id", "ts", "view_event_id", "view_ts", "gap_us"]
