@@ -57,15 +57,3 @@ def term_hashes(terms: np.ndarray) -> np.ndarray:
     uniq, inv = np.unique(np.asarray(terms, dtype=object), return_inverse=True)
     hu = np.fromiter((term_hash(t) for t in uniq), dtype=np.int64, count=len(uniq))
     return hu[inv]
-
-
-def key_bucket(repo: pa.Array, path: pa.Array, n_buckets: int) -> np.ndarray:
-    """Stable bucket of the (repo, path) upsert key (for bucketed dedup)."""
-    n = len(repo)
-    out = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        r = repo[i].as_py() or ""
-        p = path[i].as_py() or ""
-        d = hashlib.md5((r + "\x00" + p).encode("utf-8")).digest()
-        out[i] = int.from_bytes(d[:8], "little") % n_buckets
-    return out

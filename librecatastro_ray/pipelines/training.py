@@ -508,9 +508,9 @@ def minhash_lsh_candidates(
     intersections).  Deterministic (seeded permutations).  Everything is
     Dataset-shaped and vectorized: no driver ``take_all()``, no per-group
     Python on the candidate path (degenerate over-cap buckets — thousands of
-    mutually-identical docs — fall back to a capped per-group expansion; the
-    only driver-resident state is the candidate id-set used to semi-join the
-    texts, output-scale by construction).
+    mutually-identical docs — fall back to a capped per-group expansion), and
+    nothing candidate- or corpus-scale on the driver: the text semi-join runs
+    as a native distributed hash join against the distinct candidate ids.
 
     Oracle-matched: at 16 bands × 4 rows, a pair at the 0.6 verify threshold
     is caught with p ≈ 0.89 and a real near-dup (jaccard ≥ 0.9, which is all
@@ -599,26 +599,27 @@ def minhash_lsh_candidates(
         .drop_columns(["__n"])
         .materialize()
     )
-    # semi-join texts down to candidate ids (the id-set is output-scale; a
-    # corpus-scale candidate set would mean the threshold is meaningless)
-    id_rows = cand.map_batches(
-        lambda t: pa.table({"doc_id": pa.concat_arrays(
-            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])}),
-        batch_format="pyarrow",
-    )
-    cand_ids = np.array(sorted(id_rows.unique("doc_id")), dtype=np.int64)
-    if len(cand_ids) == 0:
+    if cand.count() == 0:
         return _empty_pairs()
-    ids_ref = ray.put(cand_ids)
-
-    def filter_texts(t: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        d = t["doc_id"].to_numpy()
-        pos = np.searchsorted(ids, d)
-        pos[pos == len(ids)] = len(ids) - 1
-        return t.filter(pa.array(ids[pos] == d))
-
-    texts = ds.map_batches(filter_texts, batch_format="pyarrow")
+    # semi-join texts down to candidate ids with the native distributed hash
+    # join — the candidate-id set NEVER lands on the driver (candidates scale
+    # with corpus self-similarity, not with output: a template-heavy corpus
+    # can emit O(n²/buckets) candidates).  Distinct ids via a vectorized hash
+    # aggregate; the materialize barriers keep each JoinOperator alone in its
+    # streaming DAG (two joins in one DAG deadlock the 2.49 executor).
+    cand_ids = (
+        cand.map_batches(
+            lambda t: pa.table({"doc_id": pa.concat_arrays(
+                [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])}),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="__m"))
+        .drop_columns(["__m"])
+    )
+    # join output = left cols + right non-key cols → (doc_id, text) filtered
+    # to candidates; candidate texts live in the (spillable) object store
+    texts = ds.join(cand_ids, "inner", num_partitions, on=("doc_id",)).materialize()
     with_a = _attach_text(cand, texts, "doc_a", "text_a", num_partitions).materialize()
     with_ab = _attach_text(with_a, texts, "doc_b", "text_b", num_partitions)
     out = with_ab.map_batches(
@@ -1190,15 +1191,20 @@ def multimodal_frames(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def near_dup_clusters(sf_dir: str, verify_threshold: float = 0.6) -> pa.Table:
+def near_dup_clusters(
+    sf_dir: str, verify_threshold: float = 0.6, pairs: pa.Table | None = None
+) -> pa.Table:
     """The dedup DECISION for the near-dup family: connected components over
     the verified MinHash-LSH pairs; every clustered doc maps to its
     component's smallest doc_id (``cluster_keep`` — keep that one, drop the
     rest).  The pair set is output-scale by construction (it already passed
     the similarity threshold), so the union-find runs on the driver; the
     heavy lifting (candidate generation + verification) is the distributed
-    pipeline above."""
-    pairs = minhash_lsh_candidates(sf_dir, verify_threshold)
+    pipeline above.  Pass a pre-computed ``pairs`` table (doc_a, doc_b, ...)
+    to reuse an earlier :func:`minhash_lsh_candidates` result instead of
+    re-running the LSH pipeline."""
+    if pairs is None:
+        pairs = minhash_lsh_candidates(sf_dir, verify_threshold)
     a = pairs["doc_a"].to_numpy()
     b = pairs["doc_b"].to_numpy()
     ids = np.unique(np.concatenate([a, b])) if len(a) else np.zeros(0, np.int64)

@@ -259,3 +259,51 @@ def test_near_dup_clusters_transitive(tmp_path):
     assert out[0] == 0 and out[40] == 0 and out[45] == 0
     assert out[3] == 3 and out[41] == 3
     assert set(out) == {0, 40, 45, 3, 41}
+
+
+def test_minhash_lsh_corpus_scale_candidates(tmp_path):
+    """A 100%-pairwise-similar corpus (every pair is a candidate AND a true
+    near-dup → candidate ids == the whole corpus): the pipeline must complete
+    through the distributed text semi-join — nothing candidate-scale is
+    collected on the driver — and the verified output must equal the exact
+    all-pairs Jaccard (here: every pair)."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import minhash_lsh_candidates
+
+    n = 40  # C(40,2) = 780 pairs, all true dups
+    base = " ".join(f"tok{i:03d}" for i in range(120))
+    texts = []
+    for i in range(n):
+        t = base.split()
+        t[i % len(t)] = f"edit{i:03d}"
+        texts.append(" ".join(t))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    got = minhash_lsh_candidates(str(sf), verify_threshold=0.6).to_pylist()
+    exp = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            j = round(_jac(texts[a], texts[b]), 6)
+            if j >= 0.6:
+                exp.append({"doc_a": a, "doc_b": b, "jaccard": j})
+    assert len(exp) == n * (n - 1) // 2  # every pair is a near-dup
+    assert got == exp
+
+
+def test_near_dup_clusters_accepts_precomputed_pairs():
+    """near_dup_clusters(pairs=...) must skip the LSH pipeline and cluster
+    the given pair table directly."""
+    from librecatastro_ray.pipelines.training import near_dup_clusters
+
+    pairs = pa.table({"doc_a": pa.array([1, 2, 7], pa.int64()),
+                      "doc_b": pa.array([2, 5, 9], pa.int64()),
+                      "jaccard": pa.array([0.9, 0.8, 0.7], pa.float64())})
+    out = {r["doc_id"]: r["cluster_keep"]
+           for r in near_dup_clusters("/nonexistent", pairs=pairs).to_pylist()}
+    assert out == {1: 1, 2: 1, 5: 1, 7: 7, 9: 7}
