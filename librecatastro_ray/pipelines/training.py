@@ -286,46 +286,114 @@ def _char_ngrams(s: str, n: int = 3) -> set[str]:
 _NGRAM_BUCKET_CAP = 4096  # scale guard: a source bucket is all-pairs work
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.62) -> pa.Table:
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.62,
+    bucket_cap: int = _NGRAM_BUCKET_CAP,
+    num_partitions: int | None = None,
+    return_stats: bool = False,
+) -> pa.Table | tuple[pa.Table, dict]:
     """Near-dup pairs by character-3-gram Jaccard, blocked by ``source``
-    (pairwise work only inside a bucket, never a global cross join).  Gram
-    sets are numpy void arrays built once per doc; pair intersections are
-    sorted-array kernels (no per-gram Python).  Buckets are capped at
-    ``_NGRAM_BUCKET_CAP`` docs (smallest doc_ids win — sized far above the
-    test corpora, a guard against degenerate sources at scale)."""
+    (pairwise work only inside a bucket, never a global cross join).
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", ignore_index=True)
-        if len(g) > _NGRAM_BUCKET_CAP:
-            import logging
+    DISTRIBUTED: in-bucket candidate pairs come from a native hash self-join
+    of the (doc_id, source) key rows on ``source`` (text never enters the
+    pair-expansion shuffle), texts attach to the pairs via two more hash
+    joins, and the exact-Jaccard verification runs vectorized in map_batches
+    (:func:`_verify_pairs` — gram sets built once per distinct doc per batch,
+    intersections as sorted-array numpy kernels).  No single task ever holds
+    a whole bucket's all-pairs work.
 
-            logging.getLogger(__name__).warning(
-                "ngram_jaccard_pairs: source bucket %r has %d docs; capped to "
-                "%d (smallest doc_ids) — pairs involving dropped docs are NOT "
-                "computed", str(g["source"].iloc[0]), len(g), _NGRAM_BUCKET_CAP,
-            )
-            g = g.iloc[:_NGRAM_BUCKET_CAP]
-        sets = [_gram_set_np((s or "").lower(), 3) for s in g["text"]]
-        ids = g["doc_id"].to_numpy()
-        rows = []
-        for i in range(len(g)):
-            si = sets[i]
-            for j in range(i + 1, len(g)):
-                sj = sets[j]
-                inter = np.intersect1d(si, sj, assume_unique=True).size
-                u = len(si) + len(sj) - inter
-                jac = (inter / u) if u else 0.0
-                if round(jac, 6) >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), round(jac, 6)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
-        )
+    Degenerate buckets are still capped at ``bucket_cap`` docs (smallest
+    doc_ids win, deterministic) because the op is inherently O(n²) per
+    bucket; unlike the round-2 version the dropped-pair count is RETURNED
+    (``return_stats=True`` → ``(pairs, {"dropped_pairs", "capped_sources"})``)
+    instead of logged."""
+    from ray.data.aggregate import Count
 
+    if num_partitions is None:
+        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
     ds = _docs_ds(sf_dir, ["doc_id", "source", "text"])
-    out = ds.groupby("source").map_groups(per_group, batch_format="pandas").to_pandas()
-    return pa.Table.from_pandas(
-        out.sort_values(["doc_a", "doc_b"], ignore_index=True), preserve_index=False
+    keys = ds.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    ).materialize()  # key rows (~20 B/doc) — consumed by sizes + both join sides
+    # bucket sizes: tiny vectorized aggregate; only the over-cap tail (a >cap
+    # bucket means >cap docs sharing one source) is collected on the driver
+    sizes = keys.groupby("source").aggregate(Count(alias_name="bsize"))
+    big = sizes.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["bsize"], bucket_cap)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    stats = {"dropped_pairs": 0, "capped_sources": {}}
+    left = keys
+    if "source" in big.columns and not big.empty:
+        # per-big-source doc_id cutoff (= the cap-th smallest): few groups,
+        # key-only rows
+        big_set = set(big["source"].tolist())
+        big_ref = ray.put(big_set)
+
+        def only_big(t: pa.Table) -> pa.Table:
+            return t.filter(pa.compute.is_in(
+                t["source"], value_set=pa.array(sorted(ray.get(big_ref)))))
+
+        def cutoff(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(g["doc_id"].to_numpy())
+            return pd.DataFrame({"source": [g["source"].iloc[0]],
+                                 "cut": [int(ids[bucket_cap - 1])]})
+
+        cuts = (
+            keys.map_batches(only_big, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(cutoff, batch_format="pandas")
+            .to_pandas()
+        )
+        cut_map = dict(zip(cuts["source"], cuts["cut"]))
+        for _, r in big.iterrows():
+            n = int(r["bsize"])
+            stats["dropped_pairs"] += n * (n - 1) // 2 - bucket_cap * (bucket_cap - 1) // 2
+            stats["capped_sources"][str(r["source"])] = n
+        cuts_ref = ray.put(cut_map)
+
+        def apply_cap(t: pa.Table) -> pa.Table:
+            cm = ray.get(cuts_ref)
+            src = t["source"].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy()
+            lim = np.fromiter((cm.get(s, np.iinfo(np.int64).max) for s in src),
+                              dtype=np.int64, count=len(src))
+            return t.filter(pa.array(ids <= lim))
+
+        left = keys.map_batches(apply_cap, batch_format="pyarrow")
+    right = left.map_batches(
+        lambda t: pa.table({"source": t["source"], "doc_id_r": t["doc_id"]}),
+        batch_format="pyarrow",
     )
+    pairs = (
+        left.join(right, "inner", num_partitions, on=("source",))
+        .map_batches(
+            lambda t: pa.table({"doc_a": t["doc_id"], "doc_b": t["doc_id_r"]})
+            .filter(pa.compute.less(t["doc_id"], t["doc_id_r"])),
+            batch_format="pyarrow",
+        )
+        .materialize()  # join barrier (two JoinOperators in one DAG deadlock)
+    )
+    if pairs.count() == 0:
+        return (_empty_pairs(), stats) if return_stats else _empty_pairs()
+    texts = ds.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    with_a = _attach_text(pairs, texts, "doc_a", "text_a", num_partitions).materialize()
+    with_ab = _attach_text(with_a, texts, "doc_b", "text_b", num_partitions)
+    out = with_ab.map_batches(
+        lambda b: _verify_pairs(b, threshold, n=3), batch_format="pandas"
+    ).to_pandas()  # verified pairs: output-scale
+    table = (
+        _empty_pairs()
+        if out.empty
+        else pa.Table.from_pandas(
+            out.sort_values(["doc_a", "doc_b"], ignore_index=True), preserve_index=False
+        )
+    )
+    return (table, stats) if return_stats else table
 
 
 _MINHASH_PERMS = 64

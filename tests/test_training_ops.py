@@ -307,3 +307,76 @@ def test_near_dup_clusters_accepts_precomputed_pairs():
     out = {r["doc_id"]: r["cluster_keep"]
            for r in near_dup_clusters("/nonexistent", pairs=pairs).to_pylist()}
     assert out == {1: 1, 2: 1, 5: 1, 7: 7, 9: 7}
+
+
+def test_ngram_jaccard_distributed_matches_brute_force(tmp_path):
+    """The self-join + distributed-verify path equals the exact per-source
+    all-pairs 3-gram Jaccard."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    texts, sources = [], []
+    for i in range(40):
+        texts.append(" ".join(vocab[rng.randint(200)] for _ in range(60)))
+        sources.append(f"src{i % 3}")
+    # plant near-dups inside src0 and across (cross-source must NOT pair)
+    t = texts[0].split(); t[3] = "zzz"; texts[30] = " ".join(t); sources[30] = "src0"
+    sources[0] = "src0"
+    t = texts[1].split(); t[5] = "qqq"; texts[31] = " ".join(t); sources[31] = "src2"
+    sources[1] = "src1"  # near-dup split across sources: excluded by blocking
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "source": pa.array(sources, pa.string()),
+                  "text": pa.array(texts, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    got = ngram_jaccard_pairs(str(sf), 0.62).to_pylist()
+
+    def jac3(a, b):
+        sa, sb = _char_ngrams(a.lower(), 3), _char_ngrams(b.lower(), 3)
+        u = len(sa | sb)
+        return len(sa & sb) / u if u else 0.0
+
+    exp = []
+    for a in range(40):
+        for b in range(a + 1, 40):
+            if sources[a] != sources[b]:
+                continue
+            j = round(jac3(texts[a], texts[b]), 6)
+            if j >= 0.62:
+                exp.append({"doc_a": a, "doc_b": b, "jaccard": j})
+    assert any(p["doc_a"] == 0 and p["doc_b"] == 30 for p in exp)
+    assert not any({p["doc_a"], p["doc_b"]} == {1, 31} for p in exp)
+    assert got == exp
+
+
+def test_ngram_jaccard_overcap_bucket_counts_drops(tmp_path):
+    """An over-cap bucket keeps the cap smallest doc_ids, computes THEIR
+    pairs exactly, and returns the dropped-pair count as a metric."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import ngram_jaccard_pairs
+
+    base = " ".join(f"tok{i:03d}" for i in range(50))
+    texts = []
+    for i in range(8):
+        t = base.split(); t[i] = f"e{i}"; texts.append(" ".join(t))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "source": pa.array(["s0"] * 8, pa.string()),
+                  "text": pa.array(texts, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    pairs, stats = ngram_jaccard_pairs(str(sf), 0.5, bucket_cap=5, return_stats=True)
+    got_ids = {(r["doc_a"], r["doc_b"]) for r in pairs.to_pylist()}
+    # all surviving pairs are within the 5 smallest doc_ids
+    assert got_ids == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert stats["dropped_pairs"] == 8 * 7 // 2 - 5 * 4 // 2
+    assert stats["capped_sources"] == {"s0": 8}
