@@ -22,6 +22,10 @@ import subprocess
 import sys
 import time
 
+# size the object store to 50% of host memory (Ray Data's recommendation;
+# silences the resource_manager sizing warning) — must be set before ray.init
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 AMPLIFY = int(os.environ.get("LCRAY_BENCH_AMPLIFY", "120"))
@@ -179,6 +183,7 @@ def run_bench() -> dict:
             batch_size=32,
             concurrency=pool,
             num_cpus=1,
+            max_restarts=0,  # ray#53727: ctor args in the object store
         ).count()
     query_sec = time.monotonic() - t0
 

@@ -20,6 +20,36 @@ def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
     return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _combine_partials(
+    partials: ray.data.Dataset, keys: list[str], sum_cols: list[str], schema: pa.Schema
+) -> pd.DataFrame:
+    """Finish a LOW-cardinality aggregation without a shuffle: a second
+    map_batches combine level (bounded fan-in tree over the per-batch
+    partials), then a driver-side final combine over the tiny surviving
+    rows.  For O(10) groups a Ray ``groupby`` would hash-exchange to
+    ``num_cpus`` output partitions — most empty, each emitting a schema-less
+    RefBundle (executor schema-drift warnings) — an all-to-all for nothing.
+    Driver fan-in is ≤ |groups| rows per 65536 partial rows, tiny at any
+    corpus size."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return schema.empty_table()
+        g = batch.group_by(keys, use_threads=False).aggregate(
+            [(c, "sum") for c in sum_cols]
+        )
+        arrays = [
+            g[f.name if f.name in keys else f"{f.name}_sum"].cast(f.type)
+            for f in schema
+        ]
+        return pa.table(arrays, schema=schema)
+
+    out = partials.map_batches(
+        combine, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    return out.groupby(keys, as_index=False)[sum_cols].sum()
+
+
 _LINEITEM_PARTIAL_SCHEMA = pa.schema(
     [
         ("l_returnflag", pa.string()),
@@ -34,10 +64,9 @@ _LINEITEM_PARTIAL_SCHEMA = pa.schema(
 
 def lineitem_agg(sf_dir: str) -> pa.Table:
     """TPC-H-Q1-style grouped aggregate with per-batch partial aggregation
-    (combine inside map_batches, then a small groupby over partials) —
-    zero-copy Arrow batches, Arrow C++ group-by kernels, and a schema-stable
-    empty partial (an empty pandas frame used to drop its columns, tripping
-    the streaming executor's RefBundle schema check)."""
+    (combine inside map_batches, then a shuffle-free partial-combine tree —
+    see :func:`_combine_partials`) — zero-copy Arrow batches, Arrow C++
+    group-by kernels, and a schema-stable empty partial."""
     import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -66,15 +95,11 @@ def lineitem_agg(sf_dir: str) -> pa.Table:
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = (
-        partials.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_price", alias_name="sum_price"),
-            Sum("sum_revenue", alias_name="sum_revenue"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
-        .to_pandas()
+    out = _combine_partials(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_price", "sum_revenue", "n_rows"],
+        _LINEITEM_PARTIAL_SCHEMA,
     )
     for c, nd in [("sum_qty", 2), ("sum_price", 2), ("sum_revenue", 2)]:
         out[c] = np.round(out[c], nd)
@@ -132,12 +157,13 @@ def orders_by_segment(sf_dir: str) -> pa.Table:
             )
 
     partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        JoinAgg, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4)
+        JoinAgg, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4),
+        # the broadcast ref lives in the object store: a restarted actor could
+        # not re-fetch it if it went out of scope (ray#53727) — rerun instead
+        max_restarts=0,
     )
-    out = (
-        partials.groupby("c_mktsegment")
-        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total", alias_name="total"))
-        .to_pandas()
+    out = _combine_partials(
+        partials, ["c_mktsegment"], ["n_orders", "total"], _SEGMENT_PARTIAL_SCHEMA
     )
     out["total"] = np.round(out["total"], 2)
     return pa.Table.from_pandas(out.sort_values("c_mktsegment", ignore_index=True), preserve_index=False)

@@ -818,6 +818,7 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=(1, 4),
+        max_restarts=0,  # ObjectRef constructor arg (ray#53727): rerun, don't restart
     ).to_pandas()
     rows = []
     for qid, g in partials.groupby("query_id", sort=True):
@@ -982,6 +983,7 @@ def ivf_build(sf_dir: str, n_cells: int = 8, index_dir: str | None = None) -> st
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=(1, 4),
+        max_restarts=0,  # ObjectRef constructor arg (ray#53727): rerun, don't restart
     )
     ds.write_parquet(os.path.join(index_dir, "cells"), partition_cols=["cell"])
     np.save(os.path.join(index_dir, "centroids.npy"), centroids)
@@ -1076,6 +1078,7 @@ def ivf_search_batch(
             batch_format="pyarrow",
             batch_size=2048,
             concurrency=(1, 4),
+            max_restarts=0,  # ObjectRef constructor arg (ray#53727)
         )
         .to_pandas()  # ≤ queries × k × batches — result-scale
     )
