@@ -391,7 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": T.lang_id,
         "token_counts_by_lang": T.token_counts_by_lang,
         "token_counts_bpe": T.token_counts_bpe,
-        "doc_fingerprints": T.doc_fingerprints,  # rows-only (order-sensitive rolling hash)
+        # full rolling-hash recurrence replayed by a recursive-CTE oracle
+        "doc_fingerprints": T.doc_fingerprints,
         # --- deduplication family
         "dedup_exact": T.exact_dedup,
         # composite curation: dedup winners ∩ quality thresholds ∩ lang filter
@@ -399,15 +400,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": lambda sf: T.ngram_jaccard_pairs(sf, 0.62),
         "dedup_minhash_lsh": lambda sf: T.minhash_lsh_candidates(sf, 0.6),
         "dedup_near_clusters": lambda sf: T.near_dup_clusters(sf, 0.6),
-        "simhash_signatures": T.simhash_signatures,  # rows-only
+        # integer bit math replayed by the _SIMHASH_SQL oracle
+        "simhash_signatures": T.simhash_signatures,
         "embedding_dup_pairs": lambda sf: T.embedding_dup_pairs(sf, 0.4),
-        # rows-only: cell-bucketed pairs are a recall-bounded SUBSET of the
-        # exact join (subset + recall unit-tested); exactness needs the
-        # block-pair join above
+        # cell-bucketed pairs: exact-SQL-replayable (the IVF centroid rule is
+        # deterministic), and a recall-bounded SUBSET of the exact join
+        # (subset + recall also unit-tested)
         "dedup_embedding_ivf": lambda sf: T.embedding_dup_pairs_ivf(sf, 0.4),
+        # the on-disk (vec_id, cell) partition content vs the exact-argmax
+        # SQL replay of seeds + one Lloyd round + assignment
+        "ivf_cell_assign": lambda sf: T.ivf_cell_assign(sf, 8),
         # --- similarity search
         "ann_topk": lambda sf: T.ann_topk(sf, n_queries=5, k=10),
-        "ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall unit-tested)
+        "ivf_topk": _q_ivf_topk,  # nprobe-restricted top-k, SQL-replayed
         # --- multimodal stubs (real plumbing, stubbed/deterministic-fake codecs)
         "multimodal_decode": T.multimodal_decode_stub,
         "multimodal_frames": T.multimodal_frames,
@@ -426,6 +431,123 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # B11 geometry filter (point-in-convex-polygon, synthetic coords)
         "geo_filter_events": R.geo_filter_events,
     }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL for the hash/bit-exact training ops (round-3 graduation of the
+# former rows-only entries: fingerprints, simhash, IVF cell assign / pairs /
+# top-k are all replayed exactly in DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _md5_63(expr: str) -> str:
+    """63-bit integer from the first 8 little-endian bytes of md5(expr) —
+    SQL twin of functions/hashing.term_hash (HUGEINT arithmetic, mod 2^63)."""
+    parts = [
+        f"('0x' || substr(md5({expr}), {2 * i + 1}, 2))::UBIGINT::HUGEINT"
+        + (f" * {256 ** i}::HUGEINT" if i else "")
+        for i in range(8)
+    ]
+    return "((" + "\n + ".join(parts) + ") % 9223372036854775808::HUGEINT)"
+
+
+# full Rabin-Karp rolling fingerprint replayed in SQL: per-position term
+# hashes (md5-based, _md5_63) folded left-to-right by a recursive CTE in
+# HUGEINT arithmetic — (h*1000003 + th) mod 2^61-1, same recurrence as
+# training._fp_horner_step (bit-identity of the vectorized form is ALSO
+# unit-tested in tests/test_training.py)
+_FINGERPRINT_SQL = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9_]+'),
+                             t -> t <> '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT d.doc_id, i.i AS pos, {_md5_63("d.l[i.i]")} AS th
+  FROM docs d, unnest(range(1, length(d.l) + 1)) i(i)
+),
+fps AS (
+  SELECT doc_id, 0::HUGEINT AS h, 0::BIGINT AS pos, length(l)::BIGINT AS dl FROM docs
+  UNION ALL
+  SELECT f.doc_id, (f.h * 1000003::HUGEINT + t.th) % 2305843009213693951::HUGEINT,
+         f.pos + 1, f.dl
+  FROM fps f JOIN toks t ON t.doc_id = f.doc_id AND t.pos = f.pos + 1
+  WHERE f.pos < f.dl
+)
+SELECT doc_id, CAST(h AS BIGINT) AS fingerprint FROM fps WHERE pos = dl
+"""
+
+# 64-bit SimHash replayed in SQL: tf-weighted ±1 per bit of the 63-bit term
+# hash, bit set where the signed sum is positive, top bit masked to stay in
+# BIGINT range — integer-exact twin of training.SimHasher
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9_]+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::HUGEINT AS tf FROM toks GROUP BY doc_id, term),
+thh AS (SELECT term, CAST({_md5_63("term")} AS UBIGINT) AS h
+        FROM (SELECT DISTINCT term FROM tf)),
+bits AS (SELECT unnest(range(64)) AS b),
+acc AS (
+  SELECT tf.doc_id, bits.b,
+         sum(tf.tf * (2 * ((thh.h >> bits.b::UBIGINT) & 1)::HUGEINT - 1)) AS a
+  FROM tf JOIN thh USING (term) CROSS JOIN bits
+  GROUP BY tf.doc_id, bits.b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN a > 0 THEN (1::UBIGINT << b::UBIGINT) ELSE 0::UBIGINT END)::HUGEINT
+              % 9223372036854775808::HUGEINT AS BIGINT) AS simhash
+  FROM acc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id)
+"""
+
+# distributed-IVF replay: seeds = n_cells smallest by (md5(vec_id), vec_id),
+# one Lloyd round (round-6 cosine argmax, smallest-cell tiebreak, empty cells
+# keep their seed), final round-6 argmax assignment — step-for-step the rule
+# in training._ivf_centroids / _CellAssigner (n_cells = 8, the queries()
+# parameterization)
+_IVF_CELLS_CTE = """
+norm AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> x / (CASE WHEN n = 0 THEN 1 ELSE n END)) AS en
+  FROM (SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS n
+        FROM embeddings)
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, en
+  FROM norm ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+assign0 AS (
+  SELECT n.vec_id, n.en,
+    (SELECT s.cell FROM seeds s
+     ORDER BY round(list_dot_product(n.en, s.en), 6) DESC, s.cell LIMIT 1) AS c0
+  FROM norm n
+),
+dimsums AS (
+  SELECT c0 AS cell, d.i AS dim, avg(en[d.i]) AS m
+  FROM assign0 a, unnest(range(1, length(a.en) + 1)) d(i)
+  GROUP BY c0, d.i
+),
+cent1 AS (SELECT cell, list(m ORDER BY dim) AS c FROM dimsums GROUP BY cell),
+cent1n AS (
+  SELECT cell, list_transform(c, x -> x / (CASE WHEN n = 0 THEN 1 ELSE n END)) AS cn
+  FROM (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS n FROM cent1)
+),
+cents AS (SELECT s.cell, coalesce(c.cn, s.en) AS cn FROM seeds s LEFT JOIN cent1n c USING(cell)),
+assign AS (
+  SELECT n.vec_id, n.en,
+    (SELECT c.cell FROM cents c
+     ORDER BY round(list_dot_product(n.en, c.cn), 6) DESC, c.cell LIMIT 1) AS cell
+  FROM norm n
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -539,6 +661,8 @@ SELECT lang,
        sum(length(coalesce(text, '')))::BIGINT AS total_chars
 FROM documents GROUP BY lang
 """,
+        "doc_fingerprints": _FINGERPRINT_SQL,
+        "simhash_signatures": _SIMHASH_SQL,
         "dedup_exact": """
 SELECT sha256(coalesce(text, '')) AS sha256,
        min(doc_id)::BIGINT AS doc_id_keep,
@@ -649,6 +773,36 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+""",
+        "dedup_embedding_ivf": f"""
+WITH {_IVF_CELLS_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.en, b.en), 6) AS cos
+FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.en, b.en), 6) >= 0.4
+""",
+        "ivf_cell_assign": f"""
+WITH {_IVF_CELLS_CTE}
+SELECT vec_id, cell::BIGINT AS cell FROM assign
+""",
+        "ivf_topk": f"""
+WITH {_IVF_CELLS_CTE},
+q AS (SELECT vec_id AS query_id, en AS qe FROM norm WHERE vec_id < 5),
+probes AS (
+  SELECT q.query_id, c.cell, row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY round(list_dot_product(q.qe, c.cn), 6) DESC, c.cell ASC) AS pr
+  FROM q CROSS JOIN cents c
+),
+cand AS (
+  SELECT q.query_id, a.vec_id, round(list_dot_product(q.qe, a.en), 6) AS cos
+  FROM q JOIN probes p ON p.query_id = q.query_id AND p.pr <= 2
+  JOIN assign a ON a.cell = p.cell
+),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM cand)
+SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= 10 AND vec_id <> query_id
 """,
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),

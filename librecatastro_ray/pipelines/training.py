@@ -594,7 +594,8 @@ def minhash_lsh_candidates(
     # bands are consumed twice (size aggregate + join side) — materialize the
     # ONE minhash pass; ~24 B/row of band keys, never corpus text
     bands = ds.map_batches(
-        MinHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
+        MinHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4),
+        max_restarts=0,  # ray#53727
     ).materialize()
     # degenerate-bucket guard: bucket sizes are a vectorized aggregate whose
     # OVER-CAP tail is tiny by construction (a >CAP bucket means >CAP
@@ -740,7 +741,8 @@ class SimHasher:
 
 def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
+        SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4),
+        max_restarts=0,  # ray#53727
     )
 
 
@@ -914,23 +916,82 @@ def _normalize_rows(E: np.ndarray) -> np.ndarray:
     return E / n
 
 
-def _ivf_centroids(path: str, n_cells: int) -> np.ndarray:
-    """Deterministic coarse centroids: the ``n_cells`` vectors with the
-    smallest vec_ids, read via parquet PUSHDOWN (dense-id fast path
-    ``vec_id < n_cells``; key-column-only scan fallback) — never the whole
-    table."""
-    import pyarrow.dataset as pads
+def _seed_keys(vids: np.ndarray) -> np.ndarray:
+    """Deterministic pseudo-random seed ordering key: md5 hex of the decimal
+    vec_id.  Hashing destroys any adversarial vec_id layout, and the SAME
+    ordering is expressible in SQL (``ORDER BY md5(CAST(vec_id AS
+    VARCHAR)), vec_id``) so the cell-assignment oracle can recompute it."""
+    return np.array([hashlib.md5(str(int(v)).encode()).hexdigest() for v in vids])
 
-    ds = pads.dataset(path, format="parquet")
-    t = ds.to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_cells)
-    if len(t) < n_cells:
-        vid = ds.to_table(columns=["vec_id"])["vec_id"].to_numpy()
-        cut = int(np.partition(vid, min(n_cells, len(vid)) - 1)[min(n_cells, len(vid)) - 1])
-        t = ds.to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") <= cut)
-    vids = t["vec_id"].to_numpy()
-    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    order = np.argsort(vids)[:n_cells]
-    return _normalize_rows(E[order])
+
+def _ivf_centroids(path: str, n_cells: int) -> np.ndarray:
+    """Distributed spherical-k-means(1-round) coarse centroids.
+
+    Seeds = the ``n_cells`` vectors smallest by ``(md5(vec_id), vec_id)`` —
+    a deterministic pseudo-random sample robust to adversarial vec_id
+    orderings (the round-2 first-``n_cells``-by-id centroids were
+    layout-dependent).  Selection is a per-batch partial top-k (each batch
+    ships at most ``n_cells`` candidate rows to the driver).  Then ONE Lloyd
+    round, also distributed: seeds broadcast via ray.put, per-batch argmax
+    assignment on round(cos, 6) with smallest-cell tiebreak, per-cell
+    (count, vector-sum) partials combined on the driver (≤ cells rows per
+    batch), mean renormalized, empty cells keep their seed.  Bit-compatible
+    with the ``ivf_cell_assign`` DuckDB oracle in ``__ray_entry__``."""
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy()
+        keys = _seed_keys(vids)
+        order = np.lexsort((vids, keys))[:n_cells]
+        return pa.table(
+            {
+                "key": pa.array(keys[order], pa.string()),
+                "vec_id": pa.array(vids[order], pa.int64()),
+                "embedding": batch["embedding"].combine_chunks().take(
+                    pa.array(order, pa.int64())
+                ),
+            }
+        )
+
+    cand = (
+        read_parquet_clean(path, columns=["vec_id", "embedding"])
+        .map_batches(seed_partial, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()  # ≤ n_cells × n_batches rows — seed-candidate scale
+    )
+    order = np.lexsort((cand["vec_id"].to_numpy(), cand["key"].to_numpy()))[:n_cells]
+    seeds = _normalize_rows(
+        np.array(cand["embedding"].iloc[order].tolist(), dtype=np.float64)
+    )
+    k, dims = seeds.shape
+    seeds_ref = ray.put(seeds)
+
+    def lloyd_partial(batch: pa.Table) -> pa.Table:
+        s = ray.get(seeds_ref)
+        En = _normalize_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        a0 = np.argmax(np.round(En @ s.T, 6), axis=1)  # first max = smallest cell
+        counts = np.bincount(a0, minlength=len(s))
+        sums = np.zeros_like(s)
+        np.add.at(sums, a0, En)
+        live = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "cell": pa.array(live, pa.int64()),
+                "n": pa.array(counts[live], pa.int64()),
+                "vsum": pa.array(sums[live].tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = (
+        read_parquet_clean(path, columns=["embedding"])
+        .map_batches(lloyd_partial, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()  # ≤ n_cells rows per batch — cell scale
+    )
+    cents = seeds.copy()
+    for cell, g in parts.groupby("cell"):
+        total = np.sum(np.array(g["vsum"].tolist(), dtype=np.float64), axis=0)
+        mean = total / g["n"].sum()
+        cents[int(cell)] = _normalize_rows(mean[None, :])[0]
+    return cents
 
 
 class _CellAssigner:
@@ -941,13 +1002,16 @@ class _CellAssigner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         En = _normalize_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
-        cell = np.argmax(En @ self.cents.T, axis=1).astype(np.int64)
+        # round-6 argmax with first-max (= smallest cell) tiebreak — the
+        # exact rule the ivf_cell_assign SQL oracle replays
+        cell = np.argmax(np.round(En @ self.cents.T, 6), axis=1).astype(np.int64)
         return batch.append_column("cell", pa.array(cell, pa.int64()))
 
 
 def ivf_build(sf_dir: str, n_cells: int = 8, index_dir: str | None = None) -> str:
-    """DISTRIBUTED IVF build (the ANN scale path): centroids = the first
-    ``n_cells`` vectors (read via pushdown, broadcast once with ray.put);
+    """DISTRIBUTED IVF build (the ANN scale path): centroids = seeded
+    pseudo-random sample + one Lloyd round (:func:`_ivf_centroids`,
+    broadcast once with ray.put);
     cell assignment runs in map_batches over the streaming read; vectors
     land in per-cell parquet partitions (``cells/cell=N/``) so a query
     probes ``nprobe`` cell directories instead of the whole table.  Nothing
@@ -959,7 +1023,7 @@ def ivf_build(sf_dir: str, n_cells: int = 8, index_dir: str | None = None) -> st
     src_fp = f"{st.st_size}:{st.st_mtime_ns}"
     if index_dir is None:
         key = hashlib.md5(
-            f"{os.path.abspath(sf_dir)}:{n_cells}:v2".encode()
+            f"{os.path.abspath(sf_dir)}:{n_cells}:v3".encode()
         ).hexdigest()[:12]
         index_dir = os.path.join(_IVF_CACHE_ROOT, key)
     marker = os.path.join(index_dir, "_DONE.json")
@@ -1064,7 +1128,13 @@ def ivf_search_batch(
     asc) — identical to the exact searcher restricted to the probed cells."""
     centroids = np.load(os.path.join(index_dir, "centroids.npy"))
     Qn = _normalize_rows(np.asarray(Q, dtype=np.float64))
-    cells = [np.argsort(-(centroids @ q))[:nprobe] for q in Qn]
+    # probe ranking on ROUNDED cosine with cell-asc tiebreak — the same
+    # deterministic rule the ivf_topk SQL oracle replays
+    cell_ids = np.arange(len(centroids))
+    cells = [
+        cell_ids[np.lexsort((cell_ids, -np.round(centroids @ q, 6)))][:nprobe]
+        for q in Qn
+    ]
     needed = sorted({int(c) for cc in cells for c in cc})
     queries_ref = ray.put((np.asarray(qids), Qn, cells))
     cells_ds = _ivf_cells_ds(index_dir, needed)
@@ -1098,6 +1168,25 @@ def ivf_topk(
     index_dir = ivf_build(sf_dir, n_cells=n_cells)
     qids, Q = _load_queries(sf_dir, n_queries)
     return ivf_search_batch(index_dir, qids, Q, k=k, nprobe=nprobe)
+
+
+def ivf_cell_assign(sf_dir: str, n_cells: int = 8) -> pa.Table:
+    """(vec_id, cell) assignment table of the distributed IVF index — read
+    back from the per-cell parquet PARTITIONS the build wrote (so the oracle
+    checks the on-disk index content, not a recomputation).  Exact-argmax
+    SQL-expressible: seeds by md5 order, one Lloyd round, round-6 cosine
+    argmax — the DuckDB oracle in ``__ray_entry__`` replays all three.
+    Correctness-gate entry: the full table is returned (corpus-scale;
+    at 100 TB the consumer is the partitioned parquet itself)."""
+    index_dir = ivf_build(sf_dir, n_cells=n_cells)
+    cells_ds = _ivf_cells_ds(index_dir, list(range(n_cells)))
+    if cells_ds is None:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cell": pa.array([], pa.int64())})
+    out = cells_ds.select_columns(["vec_id", "cell"]).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("vec_id", ignore_index=True), preserve_index=False
+    )
 
 
 def embedding_dup_pairs_ivf(
