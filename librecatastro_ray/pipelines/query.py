@@ -1247,7 +1247,9 @@ def _process_range_engine(index_dir: str, lo: int, hi: int) -> "RangeEngine":
     return rng
 
 
-def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_cap: int) -> pa.Table:
+def _eval_range_batch(
+    batch: pa.Table, *, index_dir: str, bounds: list[int], k_cap: int, merge_buckets: int
+) -> pa.Table:
     """map_batches task: evaluate every query against one doc range; emit
     top-k partials (plus per-range counts for count-kind queries)."""
     import json
@@ -1297,12 +1299,15 @@ def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_c
                 frm_l.append(np.full(len(docs), q_frm, dtype=np.int64))
     if not qid_l:
         return pa.table({"query_id": pa.array([], pa.int64()),
+                         "qbucket": pa.array([], pa.int64()),
                          "doc_id": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64()),
                          "kind": pa.array([], pa.string()),
                          "k": pa.array([], pa.int64()),
                          "from": pa.array([], pa.int64())})
-    return pa.table({"query_id": pa.array(np.concatenate(qid_l), pa.int64()),
+    qids = np.concatenate(qid_l)
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "qbucket": pa.array(qids % merge_buckets, pa.int64()),
                      "doc_id": pa.array(np.concatenate(doc_l), pa.int64()),
                      "score": pa.array(np.concatenate(score_l), pa.float64()),
                      "kind": pa.array(kind_l, pa.string()),
@@ -1310,27 +1315,55 @@ def _eval_range_batch(batch: pa.Table, *, index_dir: str, bounds: list[int], k_c
                      "from": pa.array(np.concatenate(frm_l), pa.int64())})
 
 
-def _merge_query_group(group: pa.Table) -> pa.Table:
-    """map_groups: merge one query's per-range partials into the final
-    top-k (or summed count) with the pinned (score desc, doc_id asc)
-    tiebreak — identical to the single-engine result."""
-    qid = group["query_id"][0].as_py()
-    kind = group["kind"][0].as_py()
-    if kind == "count":
-        total = float(np.sum(group["score"].to_numpy()))
-        return pa.table({"query_id": pa.array([qid], pa.int64()),
-                         "rank": pa.array([0], pa.int64()),
-                         "doc_id": pa.array([-1], pa.int64()),
-                         "score": pa.array([total], pa.float64())})
+def _merge_query_buckets(group: pa.Table) -> pa.Table:
+    """map_groups over a BUCKET of queries (``query_id % merge_buckets``):
+    merge every member query's per-range partials into its final top-k (or
+    summed count) in one vectorized pass — one lexsort over the bucket's
+    rows plus segmented position math, instead of one Python map_groups
+    call per query (the per-group-overhead cliff at millions of queries).
+    The pinned (score desc, doc_id asc) tiebreak is identical to
+    :func:`topk_indices`, so results match the single-engine path
+    bit-for-bit."""
+    qids = group["query_id"].to_numpy().astype(np.int64)
     docs = group["doc_id"].to_numpy().astype(np.int64)
-    scores = group["score"].to_numpy()
-    k = int(group["k"][0].as_py()) if "k" in group.column_names else 10
-    frm = int(group["from"][0].as_py()) if "from" in group.column_names else 0
-    sel = topk_indices(scores, docs, frm + k)[frm:]
-    return pa.table({"query_id": pa.array(np.full(len(sel), qid, dtype=np.int64)),
-                     "rank": pa.array(np.arange(frm + 1, frm + len(sel) + 1, dtype=np.int64)),
-                     "doc_id": pa.array(docs[sel], pa.int64()),
-                     "score": pa.array(scores[sel], pa.float64())})
+    scores = group["score"].to_numpy().astype(np.float64)
+    kinds = group["kind"].to_numpy(zero_copy_only=False)
+    out_q, out_r, out_d, out_s = [], [], [], []
+    is_count = kinds == "count"
+    if is_count.any():
+        cq, cs = qids[is_count], scores[is_count]
+        order = np.argsort(cq, kind="stable")
+        cq, cs = cq[order], cs[order]
+        seg = np.nonzero(np.concatenate([[True], cq[1:] != cq[:-1]]))[0]
+        out_q.append(cq[seg])
+        out_r.append(np.zeros(len(seg), dtype=np.int64))
+        out_d.append(np.full(len(seg), -1, dtype=np.int64))
+        out_s.append(np.add.reduceat(cs, seg))
+    ranked = ~is_count
+    if ranked.any():
+        rq, rd, rs = qids[ranked], docs[ranked], scores[ranked]
+        rk = group["k"].to_numpy().astype(np.int64)[ranked]
+        rf = group["from"].to_numpy().astype(np.int64)[ranked]
+        order = np.lexsort((rd, -rs, rq))  # qid asc, score desc, doc_id asc
+        rq, rd, rs = rq[order], rd[order], rs[order]
+        rk, rf = rk[order], rf[order]
+        starts = np.concatenate([[True], rq[1:] != rq[:-1]])
+        seg_start = np.nonzero(starts)[0][np.cumsum(starts) - 1]
+        pos = np.arange(len(rq), dtype=np.int64) - seg_start
+        keep = (pos >= rf) & (pos < rf + rk)
+        out_q.append(rq[keep])
+        out_r.append(pos[keep] + 1)
+        out_d.append(rd[keep])
+        out_s.append(rs[keep])
+    if not out_q:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    return pa.table({"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                     "rank": pa.array(np.concatenate(out_r), pa.int64()),
+                     "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                     "score": pa.array(np.concatenate(out_s), pa.float64())})
 
 
 def batch_search_scatter(
@@ -1385,15 +1418,31 @@ def batch_search_scatter(
         ],
         override_num_blocks=n_ranges * len(chunks),
     )
+    # merge-bucket count: the gather shuffle moves the same ≤ ranges×k rows
+    # per query but the groupby sees buckets of queries instead of one group
+    # per query (per-group map_groups overhead is Ray Data's known cliff at
+    # millions of tiny groups), each bucket merged in one vectorized pass.
+    # Keep buckets ≥ 4× the sort's output-partition count (= work blocks) so
+    # the range exchange never emits empty (schema-less) partitions, and
+    # ≤ n_queries so every bucket is non-empty.
+    n_blocks = n_ranges * len(chunks)
+    merge_buckets = max(
+        1, min(len(queries), max(4 * n_blocks, -(-len(queries) // 1024)))
+    )
     partials = work.map_batches(
         _eval_range_batch,
-        fn_kwargs={"index_dir": index_dir, "bounds": bounds, "k_cap": k_cap},
+        fn_kwargs={
+            "index_dir": index_dir,
+            "bounds": bounds,
+            "k_cap": k_cap,
+            "merge_buckets": merge_buckets,
+        },
         batch_format="pyarrow",
         batch_size=1,
     )
     merged = (
-        partials.groupby("query_id")
-        .map_groups(_merge_query_group, batch_format="pyarrow")
+        partials.groupby("qbucket")
+        .map_groups(_merge_query_buckets, batch_format="pyarrow")
     )
     if output_dir is not None:
         # streaming sink for workloads whose RESULT is large (many queries ×
