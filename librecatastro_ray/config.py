@@ -20,6 +20,13 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
 
+    # Analysis strategy ids (functions/analysis.py registry — the reference's
+    # Parser-ABC strategy surface, parser.py:12-28).  Recorded in the
+    # manifest: an index answers queries ONLY with the analyzer/scorer it was
+    # built with (a mismatched explicit strategy is rejected at query time).
+    analyzer: str = "code_standard_v1"
+    scorer: str = "bm25_v1"
+
     # Term partitioning: postings are hash-partitioned into ``num_partitions``
     # term partitions (the analogue of the reference's 5 doc-hash shards, but
     # partitioned by *term* so a query term routes to exactly one partition).

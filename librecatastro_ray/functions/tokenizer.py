@@ -39,8 +39,11 @@ def tokenize(s: str | None) -> list[str]:
     return TOKEN_RE.findall(s.lower())
 
 
-def tokenize_batch(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized tokenize of a string column.
+def tokenize_batch_pattern(
+    arr: pa.Array | pa.ChunkedArray, split_pattern: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized tokenize of a string column with an arbitrary separator
+    regex (the kernel shared by every Analyzer implementation).
 
     Returns ``(parent_idx, terms, dl)``:
       - ``parent_idx``: int64 ndarray, row index (within ``arr``) of each token
@@ -55,7 +58,7 @@ def tokenize_batch(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndar
     n = len(arr)
     filled = pc.fill_null(arr, "")
     low = pc.utf8_lower(filled)
-    parts = pc.split_pattern_regex(low, SPLIT_PATTERN)
+    parts = pc.split_pattern_regex(low, split_pattern)
     flat = pc.list_flatten(parts)
     parents = pc.list_parent_indices(parts)
     mask = pc.not_equal(flat, "")
@@ -67,17 +70,21 @@ def tokenize_batch(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndar
     return parent_idx, terms, dl
 
 
-def term_frequencies_batch(
-    arr: pa.Array | pa.ChunkedArray,
+def tokenize_batch(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized canonical tokenize (see :func:`tokenize_batch_pattern`)."""
+    return tokenize_batch_pattern(arr, SPLIT_PATTERN)
+
+
+def term_frequencies_from(
+    parent_idx: np.ndarray, terms: np.ndarray, dl: np.ndarray
 ) -> tuple[pa.Table, np.ndarray]:
-    """Per-(row, term) frequencies for a string column.
+    """Fold a tokenize result into per-(row, term) frequencies.
 
     Returns ``(tf_table, dl)`` where ``tf_table`` has columns
     ``row (int64), term (string), tf (int64)`` (one row per distinct term per
     document) and ``dl`` is the per-row token count.  The group-by runs in
     Arrow C++.
     """
-    parent_idx, terms, dl = tokenize_batch(arr)
     t = pa.table(
         {
             "row": pa.array(parent_idx, pa.int64()),
@@ -93,3 +100,10 @@ def term_frequencies_batch(
         }
     )
     return tf_table, dl
+
+
+def term_frequencies_batch(
+    arr: pa.Array | pa.ChunkedArray,
+) -> tuple[pa.Table, np.ndarray]:
+    """Per-(row, term) frequencies under the canonical tokenizer."""
+    return term_frequencies_from(*tokenize_batch(arr))

@@ -22,6 +22,10 @@ from librecatastro_ray.functions.bm25 import B_DEFAULT, K1_DEFAULT, idf, tf_norm
 from librecatastro_ray.functions.tokenizer import tokenize
 
 
+def _canon_tokenize(s):
+    return tokenize(s)
+
+
 @dataclass
 class OracleIndex:
     """In-memory inverted index over a corpus given as parallel lists."""
@@ -34,6 +38,9 @@ class OracleIndex:
     postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term -> {doc_id: tf}
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
+    # per-string tokenizer (Analyzer.tokenize); canonical by default so the
+    # whitespace-analyzer end-to-end test can share this oracle
+    tokenize_fn: "object" = _canon_tokenize
 
     @property
     def n_docs(self) -> int:
@@ -54,6 +61,7 @@ class OracleIndex:
         contents: list[str | None],
         k1: float = K1_DEFAULT,
         b: float = B_DEFAULT,
+        tokenize_fn=_canon_tokenize,
     ) -> "OracleIndex":
         """doc_ids are assigned by sorted (repo, path) order — the engine's
         deterministic id assignment (SURVEY.md §2.F F2)."""
@@ -65,9 +73,10 @@ class OracleIndex:
             langs=[langs[i] for i in order],
             k1=k1,
             b=b,
+            tokenize_fn=tokenize_fn,
         )
         for doc_id, i in enumerate(order):
-            toks = tokenize(contents[i])
+            toks = tokenize_fn(contents[i])
             idx.dl[doc_id] = len(toks)
             for term, tf in Counter(toks).items():
                 idx.postings.setdefault(term, {})[doc_id] = tf
@@ -93,7 +102,7 @@ class OracleIndex:
         Lucene).  Returns [(doc_id, score)] rank-ordered, tiebreak
         (score desc, doc_id asc)."""
         scores: dict[int, float] = {}
-        for term in tokenize(text):
+        for term in self.tokenize_fn(text):
             for d, s in self.score_term(term).items():
                 scores[d] = scores.get(d, 0.0) + s
         return self._topk(scores, k)
@@ -144,7 +153,7 @@ class OracleIndex:
         """Exact ``hits.total`` for a match query (reference:
         src/librecatastro/domain/cadaster_entry/cadaster_entry.py:68-71)."""
         docs: set[int] = set()
-        for term in tokenize(text):
+        for term in self.tokenize_fn(text):
             docs.update(self.postings.get(term, {}))
         return len(docs)
 

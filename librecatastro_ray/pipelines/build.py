@@ -40,7 +40,6 @@ import ray
 import ray.data
 
 from librecatastro_ray.config import IndexConfig
-from librecatastro_ray.functions.tokenizer import term_frequencies_batch
 from librecatastro_ray.stages.doc_ids import dedup_assign_write
 from librecatastro_ray.stages.merge import merge_batch
 from librecatastro_ray.stages.postings import flat_postings
@@ -118,7 +117,9 @@ def _as_dataset(corpus: Any) -> ray.data.Dataset:
     return corpus
 
 
-def _sample_term_counts(batch: pa.Table, *, mod: int) -> pa.Table:
+def _sample_term_counts(
+    batch: pa.Table, *, mod: int, analyzer_id: str = "code_standard_v1"
+) -> pa.Table:
     """Partial df over a deterministic doc sample (doc_id % mod == 0):
     per-batch (term, df_partial) tables, combined on the driver.  This is the
     partial-aggregate-before-groupby pattern — the full df never shuffles."""
@@ -133,7 +134,9 @@ def _sample_term_counts(batch: pa.Table, *, mod: int) -> pa.Table:
     )
     if len(sub) == 0:
         return empty
-    tf_table, _ = term_frequencies_batch(sub["content"])
+    from librecatastro_ray.functions.analysis import get_analyzer, term_frequencies_with
+
+    tf_table, _ = term_frequencies_with(get_analyzer(analyzer_id), sub["content"])
     g = tf_table.group_by("term", use_threads=False).aggregate([("row", "count")])
     out = pa.table(
         {
@@ -160,7 +163,7 @@ def estimate_hot_terms(docs_ds: ray.data.Dataset, n_docs: int, config: IndexConf
     mod = max(1, n_docs // max(1, config.hot_sample_target))
     parts = docs_ds.map_batches(
         _sample_term_counts,
-        fn_kwargs={"mod": mod},
+        fn_kwargs={"mod": mod, "analyzer_id": config.analyzer},
         batch_format="pyarrow",
         batch_size=config.batch_size,
     ).to_pandas()
@@ -187,6 +190,11 @@ def build_index(
     ``{"manifest": ..., "report": {...}}`` where the report carries
     per-phase skip/recompute counts (used by the resume tests)."""
     config = config or IndexConfig()
+    # fail fast on an unknown strategy id — before any phase writes
+    from librecatastro_ray.functions.analysis import get_analyzer, get_scorer
+
+    get_analyzer(config.analyzer)
+    get_scorer(config.scorer, config.k1, config.b)
     report: dict[str, Any] = {
         "phases_skipped": [],
         "partitions_merged": 0,
@@ -234,7 +242,7 @@ def build_index(
         # from a crashed run when the corpus is unchanged (block-level
         # resume, content-fingerprinted) and clears them itself when not
         ds = _as_dataset(corpus)
-        n_docs_a, sum_dl_a = dedup_assign_write(ds, docs_dir)
+        n_docs_a, sum_dl_a = dedup_assign_write(ds, docs_dir, analyzer_id=config.analyzer)
         stats = {"n_docs": int(n_docs_a), "sum_dl": int(sum_dl_a), "src_fp": src_fp}
         atomic_write_json(_marker(docs_dir), stats)
     report["phase_seconds"]["docs"] = round(_t() - _t0, 3)
@@ -263,6 +271,7 @@ def build_index(
                 "num_partitions": config.num_partitions,
                 "num_salts": config.num_salts,
                 "hot_terms": hot_terms,
+                "analyzer_id": config.analyzer,
             },
             batch_format="pyarrow",
             batch_size=config.batch_size,

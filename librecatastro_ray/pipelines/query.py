@@ -33,11 +33,9 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from librecatastro_ray.config import IndexConfig
-from librecatastro_ray.functions.bm25 import idf as idf_fn
-from librecatastro_ray.functions.bm25 import tf_norm, topk_indices
+from librecatastro_ray.functions.bm25 import topk_indices
 from librecatastro_ray.functions.codec import varbyte_decode
 from librecatastro_ray.functions.hashing import term_hash
-from librecatastro_ray.functions.tokenizer import tokenize
 from librecatastro_ray.stages.merge import blocks_file, dict_file
 from librecatastro_ray.state.manifest import load_manifest
 
@@ -116,10 +114,32 @@ def decode_blocks_table(bt: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarra
 
 
 class QueryEngine:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, analyzer=None, scorer=None):
+        """``analyzer``/``scorer`` are optional EXPLICIT strategy objects
+        (functions/analysis.py protocols).  The index manifest pins the ids
+        it was built with; an explicit strategy whose id differs is REJECTED
+        — querying with a different tokenizer/scorer than the build silently
+        returns garbage, so it is an error, not a fallback.  Default: resolve
+        the manifest ids from the registry."""
+        from librecatastro_ray.functions.analysis import get_analyzer, get_scorer
+
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
         self.config = IndexConfig.from_json(self.manifest["config"])
+        for given, want, kind in (
+            (analyzer, self.config.analyzer, "analyzer"),
+            (scorer, self.config.scorer, "scorer"),
+        ):
+            if given is not None and getattr(given, f"{kind}_id") != want:
+                raise ValueError(
+                    f"index at {index_dir} was built with {kind} {want!r}; "
+                    f"got {getattr(given, f'{kind}_id')!r} — rebuild the "
+                    f"index or drop the explicit {kind}"
+                )
+        self.analyzer = analyzer or get_analyzer(self.config.analyzer)
+        self.scorer = scorer or get_scorer(
+            self.config.scorer, self.config.k1, self.config.b
+        )
         self.n_docs: int = int(self.manifest["n_docs"])
         self.sum_dl: int = int(self.manifest["sum_dl"])
         self.avgdl: float = (float(self.sum_dl) / float(self.n_docs)) if self.n_docs else 1.0
@@ -279,8 +299,8 @@ class QueryEngine:
             result = (docs, np.zeros(0, dtype=np.float64))
         else:
             df = len(docs)
-            w = float(idf_fn(df, self.n_docs))
-            contrib = w * tf_norm(tfs, dls, self.avgdl, self.config.k1, self.config.b)
+            w = float(self.scorer.idf(df, self.n_docs))
+            contrib = w * self.scorer.tf_norm(tfs, dls, self.avgdl)
             result = (docs, contrib)
         self._contrib_cache[term] = result
         self._contrib_cache_size += len(result[0])
@@ -333,7 +353,7 @@ class QueryEngine:
     def match(self, text: str, k: int = 10, offset: int = 0) -> pa.Table:
         """Q1+Q4: analyzed BM25 match, top-k (rank, doc_id, score); ``offset``
         is ES ``from`` pagination (skip the first ``offset`` ranks)."""
-        terms = tokenize(text)
+        terms = self.analyzer.tokenize(text)
         if self.n_docs <= DENSE_ACC_LIMIT:
             # dense scatter-add: O(total postings), no sort; per-doc additions
             # still happen in term order (the oracle's accumulation order)
@@ -373,7 +393,7 @@ class QueryEngine:
         scores accumulate in query-term order (float-identical to match()
         and the oracle); ties at θ are kept (strict < pruning) so the
         (score desc, doc_id asc) tiebreak is preserved."""
-        terms = tokenize(text)
+        terms = self.analyzer.tokenize(text)
         if not terms:
             return _empty_result()
         k_eff = offset + k  # prune against the page's end, slice at the end
@@ -386,7 +406,7 @@ class QueryEngine:
             df = self.term_df(term)
             if df == 0:
                 continue
-            w = float(idf_fn(df, self.n_docs))
+            w = float(self.scorer.idf(df, self.n_docs))
             streams = []
             for salt in self._salts(term):
                 bm = self._block_meta(term, salt)
@@ -485,9 +505,7 @@ class QueryEngine:
                     d_in = d[inside]
                     if len(d_in) == 0:
                         continue
-                    contrib = w * tf_norm(
-                        f[inside], L[inside], self.avgdl, self.config.k1, self.config.b
-                    )
+                    contrib = w * self.scorer.tf_norm(f[inside], L[inside], self.avgdl)
                     acc[d_in] += contrib
                     touched[d_in] = True
             docs_c = np.nonzero(touched)[0].astype(np.int64)
@@ -613,8 +631,8 @@ class QueryEngine:
         for term, df in infos:
             docs, tfs, dls = self._postings_for_candidates(term, df, cand_array, n_cand)
             mask = cand_flags[docs] if dense else _in_sorted(docs, final)
-            w = float(idf_fn(df, self.n_docs))
-            contrib = w * tf_norm(tfs[mask], dls[mask], self.avgdl, self.config.k1, self.config.b)
+            w = float(self.scorer.idf(df, self.n_docs))
+            contrib = w * self.scorer.tf_norm(tfs[mask], dls[mask], self.avgdl)
             doc_arrays.append(docs[mask])
             score_arrays.append(contrib)
         for d in kw_docs:
@@ -773,7 +791,7 @@ class QueryEngine:
 
     def count(self, text: str) -> int:
         """Q5: exact hits.total of a match query."""
-        docs = self._union_docs(tokenize(text))
+        docs = self._union_docs(self.analyzer.tokenize(text))
         return 0 if docs is None else int(len(docs))
 
     def exists(self, text: str) -> bool:
@@ -1069,8 +1087,8 @@ class RangeEngine:
             result = (docs, np.zeros(0, dtype=np.float64))
         else:
             df = self.eng.term_df(term)  # GLOBAL df → exact idf
-            w = float(idf_fn(df, self.eng.n_docs))
-            contrib = w * tf_norm(tfs, dls, self.eng.avgdl, self.eng.config.k1, self.eng.config.b)
+            w = float(self.eng.scorer.idf(df, self.eng.n_docs))
+            contrib = w * self.eng.scorer.tf_norm(tfs, dls, self.eng.avgdl)
             result = (docs, contrib)
         self._contrib[term] = result
         return result
@@ -1085,7 +1103,7 @@ class RangeEngine:
         Arrow table per query per range would dominate batch evaluation)."""
         acc = self._acc()
         hit = False
-        for term in tokenize(text):
+        for term in self.eng.analyzer.tokenize(text):
             d, s = self._contribution_range(term)
             if len(d):
                 acc[d - self.lo] += s
@@ -1282,7 +1300,7 @@ def _eval_range_batch(
                 docs = docs[: min(k, k_cap)]  # constant score → lowest ids win
                 scores = np.ones(len(docs), dtype=np.float64)
             elif kind == "count":
-                _docs, n = rng.union_count(tokenize(q.get("text") or ""))
+                _docs, n = rng.union_count(rng.eng.analyzer.tokenize(q.get("text") or ""))
                 docs = np.array([-1], dtype=np.int64)
                 scores = np.array([float(n)], dtype=np.float64)
             else:

@@ -49,15 +49,15 @@ import ray.data
 from librecatastro_ray.functions.hashing import sha256_batch
 
 
-def add_sha_dl(batch: pa.Table) -> pa.Table:
+def add_sha_dl(batch: pa.Table, *, analyzer_id: str = "code_standard_v1") -> pa.Table:
     """map_batches (stateless task): append sha256(content) and the token
     count ``dl`` in ONE pass over the corpus — the doc-store row is complete
     before dedup, so no second full-content pipeline pass is needed after id
     assignment.  (Dup losers get tokenized too; dups are rare, one avoided
     full-corpus pass is not.)"""
-    from librecatastro_ray.functions.tokenizer import tokenize_batch
+    from librecatastro_ray.functions.analysis import get_analyzer
 
-    _idx, _terms, dl = tokenize_batch(batch["content"])
+    _idx, _terms, dl = get_analyzer(analyzer_id).tokenize_batch(batch["content"])
     return batch.append_column("sha256", sha256_batch(batch["content"])).append_column(
         "dl", pa.array(dl, pa.int64())
     )
@@ -383,7 +383,10 @@ def dedup_and_assign_ids(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, int]:
 
 
 def dedup_assign_write(
-    ds: ray.data.Dataset, docs_dir: str, compression: str = "zstd"
+    ds: ray.data.Dataset,
+    docs_dir: str,
+    compression: str = "zstd",
+    analyzer_id: str = "code_standard_v1",
 ) -> tuple[int, int]:
     """Fused variant for the build pipeline: dedup + id assignment with the
     finished doc-store blocks written straight to ``docs_dir`` (one parquet
@@ -401,7 +404,12 @@ def dedup_assign_write(
     import json
 
     os.makedirs(docs_dir, exist_ok=True)
-    ds = ds.map_batches(add_sha_dl, batch_format="pyarrow", batch_size=512)
+    ds = ds.map_batches(
+        add_sha_dl,
+        fn_kwargs={"analyzer_id": analyzer_id},
+        batch_format="pyarrow",
+        batch_size=512,
+    )
     mat = ds.materialize()
     block_refs, block_rows = _bundle_refs_meta(mat)
     if not block_refs:

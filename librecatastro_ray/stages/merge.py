@@ -25,7 +25,6 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from librecatastro_ray.config import IndexConfig
-from librecatastro_ray.functions.bm25 import tf_norm
 from librecatastro_ray.functions.codec import varbyte_encode_with_lengths
 from librecatastro_ray.functions.hashing import sha256_hex
 from librecatastro_ray.state.manifest import atomic_write_json, checkpoint_path
@@ -138,7 +137,12 @@ def merge_partition(
         block_term = terms[block_starts]
         block_no = (pos_in_run[block_starts] // B).astype(np.int32)
         last_doc = doc_ids[block_ends - 1].astype(np.int64)
-        tn = tf_norm(tfs, dls, avgdl, config.k1, config.b)
+        # block-max bound computed with the BUILD-time scorer (pinned in the
+        # manifest): valid for WAND as long as the query side uses the same
+        # scorer id — which the engine enforces
+        from librecatastro_ray.functions.analysis import get_scorer
+
+        tn = get_scorer(config.scorer, config.k1, config.b).tf_norm(tfs, dls, avgdl)
         max_tfnorm = np.maximum.reduceat(tn, block_starts)
 
         # delta within a block, absolute first value at each block start

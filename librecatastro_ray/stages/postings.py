@@ -21,8 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from librecatastro_ray.functions.analysis import get_analyzer, term_frequencies_with
 from librecatastro_ray.functions.hashing import term_hashes
-from librecatastro_ray.functions.tokenizer import term_frequencies_batch
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -41,16 +41,18 @@ def flat_postings(
     num_partitions: int,
     num_salts: int,
     hot_terms: list[str],
+    analyzer_id: str = "code_standard_v1",
 ) -> pa.Table:
     """map_batches (stateless task, ``fn_kwargs``): tokenize + emit flat
     postings.  Task-based rather than an actor pool: the per-task state
     (the hot-term list, typically tens of keyword-class strings) is trivially
     small, and warm-worker reuse beats paying an actor-process startup per
     pool slot.  A genuinely large broadcast side would move to ``ray.put`` +
-    an actor pool."""
+    an actor pool.  The analyzer travels as its registry ID (resolved here,
+    inside the task)."""
     P, S = num_partitions, num_salts
     hot = np.array(sorted(hot_terms), dtype=object)
-    tf_table, _dl = term_frequencies_batch(batch["content"])
+    tf_table, _dl = term_frequencies_with(get_analyzer(analyzer_id), batch["content"])
     rows = tf_table["row"].to_numpy()
     doc_ids = batch["doc_id"].to_numpy()[rows]
     dl_per_row = _dl[rows]
