@@ -317,6 +317,11 @@ def ngram_jaccard_pairs(
     keys = ds.map_batches(
         lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
     ).materialize()  # key rows (~20 B/doc) — consumed by sizes + both join sides
+    # scale-aware shuffle width: partitions ∝ rows (free metadata count on the
+    # materialized keys), CPU-clamped — a 500-doc test corpus gets 2 partitions
+    # instead of 64 mostly-empty ones (whose schema-less bundles trip the
+    # executor's drift warning), a 100 TB corpus still gets the CPU clamp
+    num_partitions = max(2, min(num_partitions, keys.count() // 2048 + 1))
     # bucket sizes: tiny vectorized aggregate; only the over-cap tail (a >cap
     # bucket means >cap docs sharing one source) is collected on the driver
     sizes = keys.groupby("source").aggregate(Count(alias_name="bsize"))
@@ -597,6 +602,10 @@ def minhash_lsh_candidates(
         MinHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4),
         max_restarts=0,  # ray#53727
     ).materialize()
+    # scale-aware shuffle width (see ngram_jaccard_pairs): band-row count is
+    # free metadata on the materialized Dataset; tiny corpora get few
+    # partitions, big ones keep the CPU clamp
+    num_partitions = max(2, min(num_partitions, bands.count() // 4096 + 1))
     # degenerate-bucket guard: bucket sizes are a vectorized aggregate whose
     # OVER-CAP tail is tiny by construction (a >CAP bucket means >CAP
     # mutually-near-identical docs) — collect just those keys on the driver
@@ -1451,6 +1460,8 @@ def curate_corpus(
     feats = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         features, batch_format="pyarrow", batch_size=4096
     ).materialize()  # consumed twice (dedup-min side + join side); never text
+    # scale-aware shuffle width (see ngram_jaccard_pairs)
+    num_partitions = max(2, min(num_partitions, feats.count() // 4096 + 1))
     winners = feats.groupby("sha256").aggregate(Min("doc_id", alias_name="keep_id"))
     joined = feats.join(winners, "inner", num_partitions, on=("sha256",))
 
