@@ -402,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_clusters": lambda sf: T.near_dup_clusters(sf, 0.6),
         # integer bit math replayed by the _SIMHASH_SQL oracle
         "simhash_signatures": T.simhash_signatures,
+        # banded Hamming-radius pairs vs the exact all-pairs popcount SQL
+        "dedup_simhash": lambda sf: T.dedup_simhash(sf, 3),
         "embedding_dup_pairs": lambda sf: T.embedding_dup_pairs(sf, 0.4),
         # cell-bucketed pairs: exact-SQL-replayable (the IVF centroid rule is
         # deterministic), and a recall-bounded SUBSET of the exact join
@@ -663,6 +665,17 @@ FROM documents GROUP BY lang
 """,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "simhash_signatures": _SIMHASH_SQL,
+        # exact all-pairs replay of the banded Hamming-radius dedup (banding
+        # has no false negatives, so the Ray output equals this quadratic SQL)
+        "dedup_simhash": f"""
+WITH sh AS ({_SIMHASH_SQL}),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
+""",
         "dedup_exact": """
 SELECT sha256(coalesce(text, '')) AS sha256,
        min(doc_id)::BIGINT AS doc_id_keep,

@@ -520,17 +520,115 @@ def _empty_pairs() -> pa.Table:
 
 
 def _attach_text(pairs: ray.data.Dataset, texts: ray.data.Dataset, key_col: str,
-                 out_col: str, num_partitions: int) -> ray.data.Dataset:
-    """Hash-join one text column onto candidate pairs by doc id (Ray Data's
-    native distributed hash join — no driver-side materialization of either
-    side, no per-group Python)."""
+                 out_col: str, num_partitions: int,
+                 value_col: str = "text") -> ray.data.Dataset:
+    """Hash-join one column (``value_col``, default the doc text) onto
+    candidate pairs by doc id (Ray Data's native distributed hash join — no
+    driver-side materialization of either side, no per-group Python)."""
     side = texts.map_batches(
-        lambda t: pa.table({"__jk": t["doc_id"], out_col: t["text"]}),
+        lambda t: pa.table({"__jk": t["doc_id"], out_col: t[value_col]}),
         batch_format="pyarrow",
     )
     # the join emits left columns + right non-key columns (the right key is
     # represented by key_col itself)
     return pairs.join(side, "inner", num_partitions, on=(key_col,), right_on=("__jk",))
+
+
+def _bucketed_pair_candidates(
+    bands: ray.data.Dataset, num_partitions: int, cap: int = _LSH_BUCKET_CAP
+) -> ray.data.Dataset:
+    """Deduped candidate pairs (doc_a < doc_b) from a ``(band, bucket,
+    doc_id)`` Dataset — the shared candidate-generation engine of the
+    MinHash-LSH and SimHash dedup families.
+
+    Bucket sizes are a tiny vectorized aggregate; only the OVER-CAP tail (a
+    >cap bucket means >cap mutually-near-identical docs) is collected on the
+    driver and broadcast, instead of joining sizes back onto every band row.
+    Normal buckets pair up via Ray Data's native hash SELF-join (vectorized,
+    fully distributed); degenerate buckets get a capped per-group expansion
+    (few groups, smallest doc_ids win, deterministic).  A pair surfacing
+    from multiple bands is deduped DISTRIBUTED (candidate-scale shuffle).
+    Returns a MATERIALIZED (doc_a, doc_b) Dataset — consumed twice
+    downstream, and chained joins deadlock the 2.49 streaming executor."""
+    from ray.data.aggregate import Count
+
+    sizes = bands.groupby(["band", "bucket"]).aggregate(Count(alias_name="bsize"))
+    big = sizes.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["bsize"], cap)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    big_keys = (
+        set(zip(big["band"].tolist(), big["bucket"].tolist()))
+        if "band" in big.columns and not big.empty
+        else set()
+    )
+
+    if big_keys:
+        # pack (band, bucket) into one int64 (wraparound-consistent on both
+        # sides) → vectorized sorted-membership, no per-row Python even when
+        # a degenerate bucket exists
+        def pack(band: np.ndarray, bucket: np.ndarray) -> np.ndarray:
+            return band.astype(np.int64) * np.int64(0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF) + bucket.astype(np.int64)
+
+        big_arr = np.sort(pack(
+            np.array([b for b, _ in big_keys], dtype=np.int64),
+            np.array([k for _, k in big_keys], dtype=np.int64),
+        ))
+        big_ref = ray.put(big_arr)
+
+        def split(t: pa.Table, keep_big: bool) -> pa.Table:
+            keys = ray.get(big_ref)
+            packed = pack(t["band"].to_numpy(), t["bucket"].to_numpy())
+            pos = np.searchsorted(keys, packed)
+            pos[pos == len(keys)] = len(keys) - 1
+            mask = keys[pos] == packed
+            return t.filter(pa.array(mask if keep_big else ~mask))
+
+        # materialize the (cheap, key-only) normal side: when EVERY bucket is
+        # degenerate it is empty, and joining an empty Dataset loses the
+        # schema inside the hash-shuffle aggregator (ArrowInvalid on the key)
+        normal = bands.map_batches(
+            lambda t: split(t, False), batch_format="pyarrow"
+        ).materialize()
+        if normal.count() == 0:
+            normal = None
+        oversized = bands.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+        # degenerate buckets: capped per-group expansion (few groups)
+        cand_big = oversized.groupby(["band", "bucket"]).map_groups(
+            _pairs_in_bucket, batch_format="pandas"
+        )
+    else:
+        # arrow-normalize (the join requires arrow blocks; a pandas-emitting
+        # signature stage upstream is fine)
+        normal = bands.map_batches(
+            lambda t: t.select(["band", "bucket", "doc_id"]), batch_format="pyarrow"
+        )
+        cand_big = None
+    if normal is not None:
+        # normal buckets: pairs = bucket SELF-JOIN (native hash join, vectorized)
+        right = normal.map_batches(
+            lambda t: pa.table({"band": t["band"], "bucket": t["bucket"], "doc_id_r": t["doc_id"]}),
+            batch_format="pyarrow",
+        )
+        pair_rows = normal.join(right, "inner", num_partitions, on=("band", "bucket"))
+        cand = pair_rows.map_batches(
+            lambda t: pa.table(
+                {"doc_a": t["doc_id"], "doc_b": t["doc_id_r"]}
+            ).filter(pa.compute.less(t["doc_id"], t["doc_id_r"])),
+            batch_format="pyarrow",
+        )
+        if cand_big is not None:
+            cand = cand.union(cand_big)
+    else:
+        cand = cand_big
+    # a pair surfacing from multiple bands must verify once: vectorized
+    # distributed dedup by pair key (candidate-scale shuffle)
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+        .materialize()
+    )
 
 
 def _gram_set_np(s: str, n: int = 4) -> np.ndarray:
@@ -606,77 +704,9 @@ def minhash_lsh_candidates(
     # free metadata on the materialized Dataset; tiny corpora get few
     # partitions, big ones keep the CPU clamp
     num_partitions = max(2, min(num_partitions, bands.count() // 4096 + 1))
-    # degenerate-bucket guard: bucket sizes are a vectorized aggregate whose
-    # OVER-CAP tail is tiny by construction (a >CAP bucket means >CAP
-    # mutually-near-identical docs) — collect just those keys on the driver
-    # and broadcast them, instead of joining sizes back onto every band row
-    sizes = bands.groupby(["band", "bucket"]).aggregate(Count(alias_name="bsize"))
-    big = sizes.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["bsize"], _LSH_BUCKET_CAP)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    big_keys = (
-        set(zip(big["band"].tolist(), big["bucket"].tolist()))
-        if "band" in big.columns and not big.empty
-        else set()
-    )
-
-    if big_keys:
-        # pack (band, bucket) into one int64 (wraparound-consistent on both
-        # sides) → vectorized sorted-membership, no per-row Python even when
-        # a degenerate bucket exists
-        def pack(band: np.ndarray, bucket: np.ndarray) -> np.ndarray:
-            return band.astype(np.int64) * np.int64(0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF) + bucket.astype(np.int64)
-
-        big_arr = np.sort(pack(
-            np.array([b for b, _ in big_keys], dtype=np.int64),
-            np.array([k for _, k in big_keys], dtype=np.int64),
-        ))
-        big_ref = ray.put(big_arr)
-
-        def split(t: pa.Table, keep_big: bool) -> pa.Table:
-            keys = ray.get(big_ref)
-            packed = pack(t["band"].to_numpy(), t["bucket"].to_numpy())
-            pos = np.searchsorted(keys, packed)
-            pos[pos == len(keys)] = len(keys) - 1
-            mask = keys[pos] == packed
-            return t.filter(pa.array(mask if keep_big else ~mask))
-
-        normal = bands.map_batches(lambda t: split(t, False), batch_format="pyarrow")
-        oversized = bands.map_batches(lambda t: split(t, True), batch_format="pyarrow")
-        # degenerate buckets: capped per-group expansion (few groups)
-        cand_big = oversized.groupby(["band", "bucket"]).map_groups(
-            _pairs_in_bucket, batch_format="pandas"
-        )
-    else:
-        # arrow-normalize (the join requires arrow blocks; MinHasher emits pandas)
-        normal = bands.map_batches(
-            lambda t: t.select(["band", "bucket", "doc_id"]), batch_format="pyarrow"
-        )
-        cand_big = None
-    # normal buckets: pairs = bucket SELF-JOIN (native hash join, vectorized)
-    right = normal.map_batches(
-        lambda t: pa.table({"band": t["band"], "bucket": t["bucket"], "doc_id_r": t["doc_id"]}),
-        batch_format="pyarrow",
-    )
-    pair_rows = normal.join(right, "inner", num_partitions, on=("band", "bucket"))
-    cand = pair_rows.map_batches(
-        lambda t: pa.table(
-            {"doc_a": t["doc_id"], "doc_b": t["doc_id_r"]}
-        ).filter(pa.compute.less(t["doc_id"], t["doc_id_r"])),
-        batch_format="pyarrow",
-    )
-    if cand_big is not None:
-        cand = cand.union(cand_big)
-    # a pair surfacing from multiple bands must verify once: vectorized
-    # distributed dedup by pair key (candidate-scale shuffle); materialized —
-    # it is consumed twice (id-set + attach join) and joins can't chain
-    cand = (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
-        .materialize()
-    )
+    # candidate generation: shared bucket-self-join engine (degenerate-bucket
+    # guard + native hash join + distributed pair dedup)
+    cand = _bucketed_pair_candidates(bands, num_partitions)
     if cand.count() == 0:
         return _empty_pairs()
     # semi-join texts down to candidate ids with the native distributed hash
@@ -752,6 +782,101 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4),
         max_restarts=0,  # ray#53727
+    )
+
+
+_SIMHASH_RADIUS = 3
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — numpy<2.0 has no bitwise_count."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def _simhash_bands(t: pa.Table, radius: int) -> pa.Table:
+    """1→(radius+1) band fan-out of 64-bit signatures: band b = a contiguous
+    bit slice, as equal as 64/(radius+1) allows.  Pigeonhole: two signatures
+    at Hamming distance ≤ radius differ in ≤ radius bands, so they agree
+    EXACTLY on at least one — zero false negatives."""
+    sim = t["simhash"].to_numpy().astype(np.uint64)
+    doc = t["doc_id"].to_numpy()
+    n_bands = radius + 1
+    bounds = np.linspace(0, 64, n_bands + 1).astype(np.uint64)
+    buckets = np.concatenate([
+        ((sim >> bounds[b]) & ((np.uint64(1) << (bounds[b + 1] - bounds[b])) - np.uint64(1))).astype(np.int64)
+        for b in range(n_bands)
+    ]) if len(sim) else np.zeros(0, dtype=np.int64)
+    return pa.table({
+        "band": np.repeat(np.arange(n_bands, dtype=np.int64), len(sim)),
+        "bucket": buckets,
+        "doc_id": np.tile(doc, n_bands),
+    })
+
+
+def _empty_hamming_pairs() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                     "hamming": pa.array([], pa.int64())})
+
+
+def dedup_simhash(
+    sf_dir: str, radius: int = _SIMHASH_RADIUS, num_partitions: int | None = None,
+    bucket_cap: int = _LSH_BUCKET_CAP,
+) -> pa.Table:
+    """SimHash near-dup: all pairs within Hamming distance ``radius`` of the
+    64-bit signature, EXACT (banding has no false negatives; an exact
+    vectorized popcount kills the false positives).
+
+    Scale path is the pigeonhole banding of Manku et al. (WWW'07 simhash
+    dedup): split the signature into ``radius+1`` contiguous bit bands — a
+    pair at distance ≤ radius agrees exactly on ≥1 band — so candidate
+    generation is the same distributed (band, bucket) hash self-join engine
+    the MinHash-LSH path uses (degenerate-bucket guard included), and ONLY
+    16 B/row signatures ever shuffle; text never moves.  Verification
+    attaches both signatures to each candidate pair with the native hash
+    join and filters by SWAR popcount — no driver-side pair or id set.
+
+    Reference analogue: the G1/G2 dedup family (SURVEY §2) —
+    elasticsearch_utils.py:100-136's exact-id dedup generalized to
+    near-identity."""
+    sigs = simhash_signatures(sf_dir).materialize()  # 16 B/row
+    if num_partitions is None:
+        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
+    num_partitions = max(2, min(num_partitions, sigs.count() // 4096 + 1))
+    bands = sigs.map_batches(
+        lambda t: _simhash_bands(t, radius), batch_format="pyarrow"
+    ).materialize()  # consumed twice by the candidate engine (sizes + join)
+    cand = _bucketed_pair_candidates(bands, num_partitions, bucket_cap)
+    if cand.count() == 0:
+        return _empty_hamming_pairs()
+    with_a = _attach_text(
+        cand, sigs, "doc_a", "sim_a", num_partitions, value_col="simhash"
+    ).materialize()  # joins can't chain in one 2.49 streaming DAG
+    with_ab = _attach_text(
+        with_a, sigs, "doc_b", "sim_b", num_partitions, value_col="simhash"
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        h = _popcount64(np.bitwise_xor(
+            t["sim_a"].to_numpy().astype(np.uint64),
+            t["sim_b"].to_numpy().astype(np.uint64),
+        ))
+        keep = h <= radius
+        return pa.table({
+            "doc_a": pa.array(t["doc_a"].to_numpy()[keep], pa.int64()),
+            "doc_b": pa.array(t["doc_b"].to_numpy()[keep], pa.int64()),
+            "hamming": pa.array(h[keep], pa.int64()),
+        })
+
+    out = with_ab.map_batches(verify, batch_format="pyarrow").to_pandas()
+    # verified pairs: output-scale
+    if out.empty:
+        return _empty_hamming_pairs()
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_a", "doc_b"], ignore_index=True), preserve_index=False
     )
 
 

@@ -380,3 +380,88 @@ def test_ngram_jaccard_overcap_bucket_counts_drops(tmp_path):
     assert got_ids == {(a, b) for a in range(5) for b in range(a + 1, 5)}
     assert stats["dropped_pairs"] == 8 * 7 // 2 - 5 * 4 // 2
     assert stats["capped_sources"] == {"s0": 8}
+
+
+def test_simhash_banding_no_false_negatives():
+    """Pigeonhole: any two signatures within Hamming distance `radius` share
+    at least one (band, bucket) — zero false negatives by construction."""
+    from librecatastro_ray.pipelines.training import _simhash_bands
+
+    rng = np.random.RandomState(11)
+    radius = 3
+    sigs, mates = [], []
+    for _ in range(200):
+        s = rng.randint(0, 1 << 62, dtype=np.int64)
+        flips = rng.choice(63, size=rng.randint(0, radius + 1), replace=False)
+        m = s
+        for f in flips:
+            m ^= np.int64(1) << np.int64(f)
+        sigs.append(s)
+        mates.append(m)
+    t = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                  "simhash": pa.array(sigs + mates, pa.int64())})
+    b = _simhash_bands(t, radius).to_pandas()
+    by_doc = b.groupby("doc_id").apply(
+        lambda g: set(zip(g["band"], g["bucket"])), include_groups=False)
+    for i in range(200):
+        assert by_doc[i] & by_doc[200 + i], f"pair {i} lost by banding"
+
+
+def test_dedup_simhash_matches_brute_force(tmp_path):
+    """End-to-end banded dedup over a corpus with planted near-dups equals
+    the exact all-pairs popcount (banding is exact: no false negatives, and
+    verification kills false positives)."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import (
+        SimHasher, _popcount64, dedup_simhash)
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    texts = []
+    for i in range(60):
+        texts.append(" ".join(vocab[rng.randint(300)] for _ in range(80)))
+    for i in range(6):  # plant near-dups: one-token edits → tiny Hamming gap
+        t = texts[i].split()
+        t[11] = "zzz"
+        texts[50 + i] = " ".join(t)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    got = dedup_simhash(str(sf), radius=3).to_pylist()
+    sh = SimHasher()(pd.DataFrame({"doc_id": range(60), "text": texts}))
+    s = sh["simhash"].to_numpy().astype(np.uint64)
+    exp = []
+    for a in range(60):
+        for b in range(a + 1, 60):
+            h = int(_popcount64(np.array([s[a] ^ s[b]]))[0])
+            if h <= 3:
+                exp.append({"doc_a": a, "doc_b": b, "hamming": h})
+    assert len(exp) >= 1  # the planted dups must actually be close
+    assert got == exp
+
+
+def test_dedup_simhash_degenerate_bucket(tmp_path):
+    """A corpus of identical docs (one shared signature → every band bucket
+    over-cap) must route through the oversized-bucket per-group path and
+    still produce the exact pair set."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import dedup_simhash
+
+    n = 12
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta"] * n, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    got = dedup_simhash(str(sf), radius=3, bucket_cap=5).to_pylist()
+    exp = [{"doc_a": a, "doc_b": b, "hamming": 0}
+           for a in range(n) for b in range(a + 1, n)]
+    assert got == exp
