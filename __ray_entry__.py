@@ -353,6 +353,7 @@ def _q_ivf_topk(sf_dir: str) -> pa.Table:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from librecatastro_ray.pipelines import multimodal as M
     from librecatastro_ray.pipelines import relational as R
     from librecatastro_ray.pipelines import training as T
 
@@ -418,6 +419,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal stubs (real plumbing, stubbed/deterministic-fake codecs)
         "multimodal_decode": T.multimodal_decode_stub,
         "multimodal_frames": T.multimodal_frames,
+        # --- multimodal REAL decode (container-free PPM/WAV, numpy codecs;
+        # integer features over the DECODED arrays, oracle = generation-rule
+        # replay like the IVF entries)
+        "mm_image_features": M.image_features,
+        "mm_audio_features": M.audio_features,
         # --- nested data model (address struct + constructions list<struct>,
         # the reference's document shape, elasticsearch_utils.py:38-56)
         "nested_unnest": R.nested_unnest,
@@ -507,6 +513,74 @@ sh AS (
 )
 SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN sh USING (doc_id)
+"""
+
+
+def _mm_pix(c: int) -> str:
+    """SQL for the synthesized pixel byte of 8x8-resize position k, channel
+    c: nearest-neighbor source index (sy*w + sx)*3 + c fed into the payload
+    byte rule (multimodal.py generation rules, replayed verbatim)."""
+    return (
+        f"((d.doc_id*131 + (((((k.k // 8) * d.h) // 8) * d.w"
+        f" + (((k.k % 8) * d.w) // 8)) * 3 + {c}) * 17) % 256)"
+    )
+
+
+# REAL-decoder multimodal replay (multimodal.py): the payload synthesizer is
+# an integer rule on doc_id, so every feature the ImageFeatures/AudioFeatures
+# stages compute from the DECODED bytes is replayed exactly — per-channel
+# sums over all pixels, and the 8x8 nearest-neighbor average-hash (integer
+# luma millis; bit k set iff 64*L_k > sum(L); top bit masked % 2^63 as in
+# the simhash convention)
+_MM_IMAGE_SQL = f"""
+WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+px AS (
+  SELECT doc_id, i.i AS i, (doc_id*131 + i.i*17) % 256 AS v
+  FROM d, unnest(range(0, w*h*3)) i(i)
+),
+sums AS (
+  SELECT doc_id,
+         sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END)::BIGINT AS sum_r,
+         sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END)::BIGINT AS sum_g,
+         sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END)::BIGINT AS sum_b
+  FROM px GROUP BY doc_id
+),
+lum AS (
+  SELECT d.doc_id, k.k AS k,
+         ({_mm_pix(0)} * 299 + {_mm_pix(1)} * 587 + {_mm_pix(2)} * 114) AS L
+  FROM d, unnest(range(0, 64)) k(k)
+),
+lt AS (SELECT doc_id, k, L, sum(L) OVER (PARTITION BY doc_id) AS tot FROM lum),
+ah AS (
+  SELECT doc_id,
+         -- k = 63 is skipped: the Python side masks ahash % 2^63, so bit 63
+         -- never contributes (and DuckDB's << overflows at 63)
+         CAST(sum(CASE WHEN k < 63 AND 64*L > tot
+                       THEN (1::UBIGINT << k::UBIGINT) ELSE 0::UBIGINT END)::HUGEINT
+              AS BIGINT) AS ahash
+  FROM lt GROUP BY doc_id
+)
+SELECT d.doc_id, d.w::BIGINT AS width, d.h::BIGINT AS height,
+       s.sum_r, s.sum_g, s.sum_b, ah.ahash
+FROM d JOIN sums s USING (doc_id) JOIN ah USING (doc_id)
+"""
+
+_MM_AUDIO_SQL = """
+WITH d AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sample_rate,
+                  50 + doc_id % 200 AS n FROM documents),
+s AS (
+  SELECT doc_id, i.i AS i, (doc_id*7919 + i.i*12347) % 65536 - 32768 AS v
+  FROM d, unnest(range(0, n)) i(i)
+),
+w AS (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s),
+f AS (
+  SELECT doc_id, sum(v*v)::BIGINT AS sum_sq,
+         sum(CASE WHEN pv*v < 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_cross
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id, d.sample_rate::BIGINT AS sample_rate, d.n::BIGINT AS n_samples,
+       f.sum_sq, f.n_zero_cross
+FROM d JOIN f USING (doc_id)
 """
 
 # distributed-IVF replay: seeds = n_cells smallest by (md5(vec_id), vec_id),
@@ -676,6 +750,8 @@ p AS (
 )
 SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
 """,
+        "mm_image_features": _MM_IMAGE_SQL,
+        "mm_audio_features": _MM_AUDIO_SQL,
         "dedup_exact": """
 SELECT sha256(coalesce(text, '')) AS sha256,
        min(doc_id)::BIGINT AS doc_id_keep,

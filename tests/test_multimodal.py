@@ -1,0 +1,116 @@
+"""Real-decoder multimodal tests: golden-byte decode (hand-built binary,
+independent of the payload synthesizer), round-trips, malformed-input
+guards, and the end-to-end actor-pool feature stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from librecatastro_ray.pipelines.multimodal import (
+    AudioFeatures,
+    ImageFeatures,
+    _payload_batch,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+)
+
+
+def test_ppm_golden_bytes():
+    """Decode a hand-assembled P6 byte string (not produced by our encoder)."""
+    buf = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    w, h, rgb = decode_ppm(buf)
+    assert (w, h) == (2, 1)
+    assert rgb.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+
+
+def test_ppm_whitespace_tolerant_header():
+    buf = b"P6 3\t1\n255 " + bytes(range(9))
+    w, h, rgb = decode_ppm(buf)
+    assert (w, h) == (3, 1)
+    assert rgb.reshape(-1).tolist() == list(range(9))
+
+
+def test_ppm_roundtrip_and_guards():
+    rgb = (np.arange(5 * 4 * 3) % 256).astype(np.uint8)
+    w, h, arr = decode_ppm(encode_ppm(5, 4, rgb))
+    assert (w, h) == (5, 4) and (arr.reshape(-1) == rgb).all()
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n# c\n1 1\n255\n" + bytes(3))
+
+
+def test_wav_golden_bytes():
+    """Decode a hand-assembled RIFF file with the data chunk BEFORE fmt
+    (chunk walking, not offset arithmetic) and an odd-sized padded chunk."""
+    import struct
+
+    data = np.array([100, -200, 32767], np.int16).tobytes()
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size → pad
+    fmt = struct.pack("<HHIIHH", 1, 1, 22050, 44100, 2, 16)
+    body = (b"WAVE" + junk + b"data" + struct.pack("<I", len(data)) + data
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, s = decode_wav(buf)
+    assert rate == 22050
+    assert s.tolist() == [100, -200, 32767]
+
+
+def test_wav_roundtrip_and_guards():
+    s = np.array([0, 1, -1, 32767, -32768], np.int16)
+    rate, out = decode_wav(encode_wav(8000, s))
+    assert rate == 8000 and (out == s).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + bytes(20))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
+
+
+def test_feature_stages_decode_real_bytes():
+    """ImageFeatures/AudioFeatures consume the BINARY column: features over
+    decoded arrays match an independent recomputation from the same bytes."""
+    t = _payload_batch(pa.table({"doc_id": pa.array([3, 44, 200], pa.int64())}))
+    imf = ImageFeatures()(t)
+    auf = AudioFeatures()(t)
+    for row in range(3):
+        w, h, rgb = decode_ppm(t["image_ppm"][row].as_py())
+        assert imf["width"][row].as_py() == w
+        assert imf["height"][row].as_py() == h
+        assert imf["sum_r"][row].as_py() == int(rgb[:, :, 0].astype(np.int64).sum())
+        rate, s = decode_wav(t["audio_wav"][row].as_py())
+        assert auf["sample_rate"][row].as_py() == rate
+        assert auf["n_samples"][row].as_py() == len(s)
+        v = s.astype(np.int64)
+        assert auf["sum_sq"][row].as_py() == int((v * v).sum())
+        assert auf["n_zero_cross"][row].as_py() == int((v[:-1] * v[1:] < 0).sum())
+
+
+def test_image_ahash_resize_identity():
+    """An image whose 8x8 resize is constant-luma has ahash 0 (no pixel
+    strictly above the mean); a half-bright image sets exactly the bright
+    half's bits."""
+    flat = np.full(8 * 8 * 3, 7, np.uint8)
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "image_ppm": pa.array([encode_ppm(8, 8, flat)], pa.binary()),
+                  "audio_wav": pa.array([b""], pa.binary())})
+    assert ImageFeatures()(t)["ahash"][0].as_py() == 0
+    half = np.zeros((8, 8, 3), np.uint8)
+    half[:, 4:, :] = 255  # right half bright → bits where x >= 4
+    t2 = pa.table({"doc_id": pa.array([1], pa.int64()),
+                   "image_ppm": pa.array([encode_ppm(8, 8, half.reshape(-1))], pa.binary()),
+                   "audio_wav": pa.array([b""], pa.binary())})
+    got = ImageFeatures()(t2)["ahash"][0].as_py()
+    expect = sum(1 << (y * 8 + x) for y in range(8) for x in range(4, 8)) % (1 << 63)
+    assert got == expect
+
+
+def test_multimodal_pipeline_end_to_end(ray_session):
+    from librecatastro_ray.pipelines.multimodal import audio_features, image_features
+
+    imf = image_features("/root/testdata/sf0.001").to_pandas()
+    auf = audio_features("/root/testdata/sf0.001").to_pandas()
+    assert len(imf) == len(auf) == 500
+    assert (imf["width"] == 4 + imf["doc_id"] % 13).all()
+    assert (auf["sample_rate"] == 8000 + (auf["doc_id"] % 3) * 4000).all()
