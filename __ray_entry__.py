@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": T.token_counts_bpe,
         # full rolling-hash recurrence replayed by a recursive-CTE oracle
         "doc_fingerprints": T.doc_fingerprints,
+        # B2/B3: 1→N parse + error guard + per-doc fallback recovery
+        "parse_entries_fallback": T.parse_entries_fallback,
         # --- deduplication family
         "dedup_exact": T.exact_dedup,
         # composite curation: dedup winners ∩ quality thresholds ∩ lang filter
@@ -752,6 +754,31 @@ SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
 """,
         "mm_image_features": _MM_IMAGE_SQL,
         "mm_audio_features": _MM_AUDIO_SQL,
+        "parse_entries_fallback": """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t, coalesce(lang, '') AS lang,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks
+  FROM documents
+),
+prim AS (
+  SELECT doc_id, tok AS entry_key, count(*)::BIGINT AS n_occurrences,
+         'primary' AS via
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+  WHERE tok IN ('dup', 'spark', 'vector')
+  GROUP BY doc_id, tok
+),
+fb AS (
+  SELECT doc_id, 'lang:' || lang AS entry_key, 1::BIGINT AS n_occurrences,
+         'fallback' AS via
+  FROM d
+  WHERE t <> '' AND doc_id NOT IN (SELECT doc_id FROM prim)
+),
+err AS (
+  SELECT doc_id, '' AS entry_key, 0::BIGINT AS n_occurrences, 'error' AS via
+  FROM d WHERE t = ''
+)
+SELECT * FROM prim UNION ALL SELECT * FROM fb UNION ALL SELECT * FROM err
+""",
         "dedup_exact": """
 SELECT sha256(coalesce(text, '')) AS sha256,
        min(doc_id)::BIGINT AS doc_id_keep,

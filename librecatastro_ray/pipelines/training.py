@@ -246,6 +246,77 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# the structured "entry" vocabulary the primary parse extracts (the test
+# corpus has no XML; these rare-ish tokens play the role of parseable refs)
+PRIMARY_ENTRY_TERMS = ["dup", "spark", "vector"]
+
+
+def parse_entries_fallback(sf_dir: str) -> ray.data.Dataset:
+    """B2/B3: 1→N record parse with an error-code guard and per-doc
+    FALLBACK recovery — the reference's parser shape (parser_xml.py:194-310:
+    one XML → N CadasterEntry rows with an error-code short-circuit at
+    :208-209; parser_xml.py:87-124: a record whose primary parse yields
+    nothing recovers through the alternate address key).
+
+    Here: each doc expands to one row per DISTINCT primary entry term it
+    contains (``via='primary'``, with its occurrence count); a doc with no
+    primary entry recovers through its alternate key — the language field —
+    as ``via='fallback'``; an empty payload short-circuits to a single
+    ``via='error'`` row.  Fully vectorized: one Arrow-C++ tokenize+tf pass
+    per batch, numpy membership/masking, no per-row Python."""
+    import pyarrow.compute as pc
+
+    from librecatastro_ray.functions.tokenizer import term_frequencies_batch
+
+    prim_arr = np.array(PRIMARY_ENTRY_TERMS)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch["text"].combine_chunks(), "")
+        langs = pc.fill_null(batch["lang"].combine_chunks(), "").to_numpy(
+            zero_copy_only=False
+        )
+        ids = batch["doc_id"].to_numpy()
+        tf_table, _dl = term_frequencies_batch(texts)
+        rows = tf_table["row"].to_numpy()
+        terms = tf_table["term"].to_numpy(zero_copy_only=False)
+        tfs = tf_table["tf"].to_numpy()
+        is_prim = np.isin(terms, prim_arr)
+        p_rows, p_terms, p_tfs = rows[is_prim], terms[is_prim], tfs[is_prim]
+        has_prim = np.zeros(len(ids), dtype=bool)
+        has_prim[p_rows] = True
+        empty = pc.equal(texts, "").to_numpy(zero_copy_only=False)
+        fb = ~has_prim & ~empty  # non-empty doc, primary parse found nothing
+        err = empty
+        fb_keys = np.char.add("lang:", langs[fb].astype(str))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([ids[p_rows], ids[fb], ids[err]]), pa.int64()
+                ),
+                "entry_key": pa.array(
+                    np.concatenate([p_terms.astype(str), fb_keys,
+                                    np.full(err.sum(), "", dtype=object)]),
+                    pa.string(),
+                ),
+                "n_occurrences": pa.array(
+                    np.concatenate([p_tfs,
+                                    np.ones(int(fb.sum()), np.int64),
+                                    np.zeros(int(err.sum()), np.int64)]),
+                    pa.int64(),
+                ),
+                "via": pa.array(
+                    ["primary"] * len(p_rows) + ["fallback"] * int(fb.sum())
+                    + ["error"] * int(err.sum()),
+                    pa.string(),
+                ),
+            }
+        )
+
+    return _docs_ds(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        parse, batch_format="pyarrow", batch_size=4096
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------

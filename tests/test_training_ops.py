@@ -465,3 +465,37 @@ def test_dedup_simhash_degenerate_bucket(tmp_path):
     exp = [{"doc_a": a, "doc_b": b, "hamming": 0}
            for a in range(n) for b in range(a + 1, n)]
     assert got == exp
+
+
+def test_parse_entries_fallback_branches(tmp_path):
+    """All three parse branches: 1→N primary expansion with tf, fallback
+    recovery via the alternate (lang) key, and the empty-payload error
+    guard — the reference's parser shape (parser_xml.py:208-209, :87-124)."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import parse_entries_fallback
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["spark and dup and spark", "plain words only", "", None],
+                pa.string()),
+            "lang": pa.array(["en", "de", "es", None], pa.string()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    rows = sorted(
+        parse_entries_fallback(str(sf)).to_pandas().itertuples(index=False),
+        key=lambda r: (r.doc_id, r.entry_key),
+    )
+    got = [(r.doc_id, r.entry_key, r.n_occurrences, r.via) for r in rows]
+    assert got == [
+        (1, "dup", 1, "primary"),
+        (1, "spark", 2, "primary"),
+        (2, "lang:de", 1, "fallback"),
+        (3, "", 0, "error"),
+        (4, "", 0, "error"),
+    ]
