@@ -96,3 +96,68 @@ def engine_and_oracle(built_index, oracle_small):
 
     index_dir, _ = built_index
     return QueryEngine(index_dir), oracle_small
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=64))
+def test_popcount64_matches_int_bit_count(xs):
+    from librecatastro_ray.pipelines.training import _popcount64
+
+    arr = np.array(xs, dtype=np.uint64)
+    got = _popcount64(arr)
+    assert got.tolist() == [int(x).bit_count() for x in xs]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0),
+)
+def test_ppm_roundtrip_property(w, h, seed):
+    from librecatastro_ray.pipelines.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.RandomState(seed % 2**31)
+    rgb = rng.randint(0, 256, size=w * h * 3).astype(np.uint8)
+    w2, h2, arr = decode_ppm(encode_ppm(w, h, rgb))
+    assert (w2, h2) == (w, h)
+    assert (arr.reshape(-1) == rgb).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=192000),
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=400),
+)
+def test_wav_roundtrip_property(rate, samples):
+    from librecatastro_ray.pipelines.multimodal import decode_wav, encode_wav
+
+    s = np.array(samples, dtype=np.int16)
+    rate2, s2 = decode_wav(encode_wav(rate, s))
+    assert rate2 == rate
+    assert s2.tolist() == samples
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**62),
+    st.integers(min_value=1, max_value=6),
+    st.sets(st.integers(min_value=0, max_value=62), max_size=6),
+)
+def test_simhash_banding_pigeonhole_property(sig, radius, flips):
+    """Any signature pair within Hamming distance `radius` shares >=1 band;
+    beyond radius the property is allowed (not required) to fail."""
+    import pyarrow as pa
+
+    from librecatastro_ray.pipelines.training import _simhash_bands
+
+    mate = sig
+    for f in flips:
+        mate ^= 1 << f
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "simhash": pa.array([sig, mate], pa.int64())})
+    b = _simhash_bands(t, radius).to_pandas()
+    shared = set(map(tuple, b[b.doc_id == 0][["band", "bucket"]].values)) & \
+        set(map(tuple, b[b.doc_id == 1][["band", "bucket"]].values))
+    if len(flips) <= radius:
+        assert shared, (sig, radius, flips)
