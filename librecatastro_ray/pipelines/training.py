@@ -574,15 +574,19 @@ class MinHasher:
         )
 
 
-def _pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
-    ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) > _LSH_BUCKET_CAP:
-        ids = ids[:_LSH_BUCKET_CAP]
+def _pairs_in_bucket(g: pd.DataFrame, carry: tuple[str, ...] = ()) -> pa.Table:
+    docs = g.drop_duplicates("doc_id").sort_values("doc_id")
+    if len(docs) > _LSH_BUCKET_CAP:
+        docs = docs.iloc[:_LSH_BUCKET_CAP]
+    ids = docs["doc_id"].to_numpy()
     a_idx, b_idx = np.triu_indices(len(ids), k=1)
-    return pa.table(
-        {"doc_a": pa.array(ids[a_idx], pa.int64()),
-         "doc_b": pa.array(ids[b_idx], pa.int64())}
-    )
+    cols = {"doc_a": pa.array(ids[a_idx], pa.int64()),
+            "doc_b": pa.array(ids[b_idx], pa.int64())}
+    for c in carry:
+        v = docs[c].to_numpy()
+        cols[f"{c}_a"] = pa.array(v[a_idx], pa.int64())
+        cols[f"{c}_b"] = pa.array(v[b_idx], pa.int64())
+    return pa.table(cols)
 
 
 def _empty_pairs() -> pa.Table:
@@ -606,7 +610,8 @@ def _attach_text(pairs: ray.data.Dataset, texts: ray.data.Dataset, key_col: str,
 
 
 def _bucketed_pair_candidates(
-    bands: ray.data.Dataset, num_partitions: int, cap: int = _LSH_BUCKET_CAP
+    bands: ray.data.Dataset, num_partitions: int, cap: int = _LSH_BUCKET_CAP,
+    carry: tuple[str, ...] = (), dedupe: bool = True,
 ) -> ray.data.Dataset:
     """Deduped candidate pairs (doc_a < doc_b) from a ``(band, bucket,
     doc_id)`` Dataset — the shared candidate-generation engine of the
@@ -620,8 +625,21 @@ def _bucketed_pair_candidates(
     (few groups, smallest doc_ids win, deterministic).  A pair surfacing
     from multiple bands is deduped DISTRIBUTED (candidate-scale shuffle).
     Returns a MATERIALIZED (doc_a, doc_b) Dataset — consumed twice
-    downstream, and chained joins deadlock the 2.49 streaming executor."""
-    from ray.data.aggregate import Count
+    downstream, and chained joins deadlock the 2.49 streaming executor.
+
+    ``carry``: SMALL int64 per-doc columns already present on the band rows
+    (e.g. an 8-byte signature — NOT document text) that ride through the
+    self-join and come back as ``{col}_a`` / ``{col}_b``, so downstream
+    verification needs no attach joins.  Values must be functions of doc_id
+    (identical across a doc's band rows — the pair dedup folds duplicates
+    with Min, which is exact for constant values).
+
+    ``dedupe=False`` skips the distributed pair dedup and returns the RAW
+    (band-duplicated, unmaterialized) candidate stream: right when the
+    per-pair verification is cheaper than a shuffle (e.g. one popcount), so
+    the caller verifies every duplicate and dedups the OUTPUT-scale result
+    instead of shuffling the candidate-scale stream."""
+    from ray.data.aggregate import Count, Min
 
     sizes = bands.groupby(["band", "bucket"]).aggregate(Count(alias_name="bsize"))
     big = sizes.map_batches(
@@ -666,25 +684,29 @@ def _bucketed_pair_candidates(
         oversized = bands.map_batches(lambda t: split(t, True), batch_format="pyarrow")
         # degenerate buckets: capped per-group expansion (few groups)
         cand_big = oversized.groupby(["band", "bucket"]).map_groups(
-            _pairs_in_bucket, batch_format="pandas"
+            lambda g: _pairs_in_bucket(g, carry), batch_format="pandas"
         )
     else:
         # arrow-normalize (the join requires arrow blocks; a pandas-emitting
         # signature stage upstream is fine)
         normal = bands.map_batches(
-            lambda t: t.select(["band", "bucket", "doc_id"]), batch_format="pyarrow"
+            lambda t: t.select(["band", "bucket", "doc_id", *carry]),
+            batch_format="pyarrow",
         )
         cand_big = None
     if normal is not None:
         # normal buckets: pairs = bucket SELF-JOIN (native hash join, vectorized)
         right = normal.map_batches(
-            lambda t: pa.table({"band": t["band"], "bucket": t["bucket"], "doc_id_r": t["doc_id"]}),
+            lambda t: pa.table({"band": t["band"], "bucket": t["bucket"], "doc_id_r": t["doc_id"],
+                                **{f"{c}_r": t[c] for c in carry}}),
             batch_format="pyarrow",
         )
         pair_rows = normal.join(right, "inner", num_partitions, on=("band", "bucket"))
         cand = pair_rows.map_batches(
             lambda t: pa.table(
-                {"doc_a": t["doc_id"], "doc_b": t["doc_id_r"]}
+                {"doc_a": t["doc_id"], "doc_b": t["doc_id_r"],
+                 **{f"{c}_a": t[c] for c in carry},
+                 **{f"{c}_b": t[f"{c}_r"] for c in carry}}
             ).filter(pa.compute.less(t["doc_id"], t["doc_id_r"])),
             batch_format="pyarrow",
         )
@@ -692,11 +714,17 @@ def _bucketed_pair_candidates(
             cand = cand.union(cand_big)
     else:
         cand = cand_big
+    if not dedupe:
+        return cand
     # a pair surfacing from multiple bands must verify once: vectorized
-    # distributed dedup by pair key (candidate-scale shuffle)
+    # distributed dedup by pair key (candidate-scale shuffle); carried
+    # columns are constant per pair, so Min reproduces them exactly
+    carry_aggs = [
+        Min(f"{c}{s}", alias_name=f"{c}{s}") for c in carry for s in ("_a", "_b")
+    ]
     return (
         cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="__n"))
+        .aggregate(Count(alias_name="__n"), *carry_aggs)
         .drop_columns(["__n"])
         .materialize()
     )
@@ -885,6 +913,9 @@ def _simhash_bands(t: pa.Table, radius: int) -> pa.Table:
         "band": np.repeat(np.arange(n_bands, dtype=np.int64), len(sim)),
         "bucket": buckets,
         "doc_id": np.tile(doc, n_bands),
+        # the signature rides the band rows (8 B/row) so candidate pairs
+        # come back verification-ready — no attach joins
+        "simhash": np.tile(t["simhash"].to_numpy(), n_bands),
     })
 
 
@@ -906,9 +937,11 @@ def dedup_simhash(
     pair at distance ≤ radius agrees exactly on ≥1 band — so candidate
     generation is the same distributed (band, bucket) hash self-join engine
     the MinHash-LSH path uses (degenerate-bucket guard included), and ONLY
-    16 B/row signatures ever shuffle; text never moves.  Verification
-    attaches both signatures to each candidate pair with the native hash
-    join and filters by SWAR popcount — no driver-side pair or id set.
+    ~24 B/row signature band rows ever shuffle; text never moves.  The 8-byte
+    signature itself RIDES the band rows through the self-join (the engine's
+    ``carry``), so every candidate pair comes back verification-ready — the
+    SWAR-popcount filter needs no attach joins and nothing pair- or
+    corpus-scale touches the driver.
 
     Reference analogue: the G1/G2 dedup family (SURVEY §2) —
     elasticsearch_utils.py:100-136's exact-id dedup generalized to
@@ -920,20 +953,18 @@ def dedup_simhash(
     bands = sigs.map_batches(
         lambda t: _simhash_bands(t, radius), batch_format="pyarrow"
     ).materialize()  # consumed twice by the candidate engine (sizes + join)
-    cand = _bucketed_pair_candidates(bands, num_partitions, bucket_cap)
-    if cand.count() == 0:
-        return _empty_hamming_pairs()
-    with_a = _attach_text(
-        cand, sigs, "doc_a", "sim_a", num_partitions, value_col="simhash"
-    ).materialize()  # joins can't chain in one 2.49 streaming DAG
-    with_ab = _attach_text(
-        with_a, sigs, "doc_b", "sim_b", num_partitions, value_col="simhash"
+    # raw (band-duplicated) candidate stream: the popcount verification is
+    # ~1 ns/pair, far cheaper than the pair-dedup shuffle, so verify every
+    # duplicate inline on the join output and dedup the OUTPUT-scale
+    # verified set instead (a pair appears in ≤ radius+1 bands)
+    cand = _bucketed_pair_candidates(
+        bands, num_partitions, bucket_cap, carry=("simhash",), dedupe=False
     )
 
     def verify(t: pa.Table) -> pa.Table:
         h = _popcount64(np.bitwise_xor(
-            t["sim_a"].to_numpy().astype(np.uint64),
-            t["sim_b"].to_numpy().astype(np.uint64),
+            t["simhash_a"].to_numpy().astype(np.uint64),
+            t["simhash_b"].to_numpy().astype(np.uint64),
         ))
         keep = h <= radius
         return pa.table({
@@ -942,10 +973,11 @@ def dedup_simhash(
             "hamming": pa.array(h[keep], pa.int64()),
         })
 
-    out = with_ab.map_batches(verify, batch_format="pyarrow").to_pandas()
+    out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
     # verified pairs: output-scale
     if out.empty:
         return _empty_hamming_pairs()
+    out = out.drop_duplicates(["doc_a", "doc_b"])  # ≤ radius+1 copies/pair
     return pa.Table.from_pandas(
         out.sort_values(["doc_a", "doc_b"], ignore_index=True), preserve_index=False
     )
