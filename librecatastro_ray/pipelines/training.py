@@ -330,15 +330,21 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     it must reach its sink (write_parquet / iter_batches) without a driver
     ``.to_pandas()`` materialization."""
 
-    def add_sha(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["sha256"] = [
-            hashlib.sha256((s or "").encode()).hexdigest() for s in batch["text"]
-        ]
-        return batch[["doc_id", "sha256"]]
+    def add_sha(batch: pa.Table) -> pa.Table:
+        # Arrow out: keeps the downstream groupby's schemas hashable (a
+        # pandas return attaches dict-valued metadata that defeats Ray's
+        # shuffle schema dedup — see MinHasher.__call__)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sha256": pa.array(
+                [hashlib.sha256((s or "").encode()).hexdigest()
+                 for s in batch["text"].to_pylist()],
+                pa.string(),
+            ),
+        })
 
     ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
-        add_sha, batch_format="pandas", batch_size=4096
+        add_sha, batch_format="pyarrow", batch_size=4096
     )
     return (
         ds.groupby("sha256")
@@ -557,19 +563,31 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         return self.signatures([text])[0]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sig = self.signatures(batch["text"].tolist())
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # Arrow in / Arrow out: a pandas return would re-attach pandas schema
+        # metadata whose dict values make the schema UNHASHABLE, defeating
+        # Ray's schema dedup in every downstream hash shuffle (the bucket
+        # groupby and the candidate self-join both consume these blocks)
+        sig = self.signatures(batch["text"].to_pylist())
         r = _MINHASH_PERMS // _LSH_BANDS
         s3 = sig.reshape(len(sig), _LSH_BANDS, r)
         key = np.zeros((len(sig), _LSH_BANDS), dtype=np.uint64)
         for j in range(r):
             key = key * np.uint64(0x9E3779B97F4A7C15) + s3[:, :, j]
             key ^= key >> np.uint64(29)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": np.repeat(batch["doc_id"].to_numpy(), _LSH_BANDS).astype("int64"),
-                "band": np.tile(np.arange(_LSH_BANDS, dtype=np.int64), len(sig)),
-                "bucket": (key.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
+                "doc_id": pa.array(
+                    np.repeat(batch["doc_id"].to_numpy(), _LSH_BANDS).astype("int64"),
+                    pa.int64(),
+                ),
+                "band": pa.array(
+                    np.tile(np.arange(_LSH_BANDS, dtype=np.int64), len(sig)), pa.int64()
+                ),
+                "bucket": pa.array(
+                    (key.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -796,7 +814,7 @@ def minhash_lsh_candidates(
     # bands are consumed twice (size aggregate + join side) — materialize the
     # ONE minhash pass; ~24 B/row of band keys, never corpus text
     bands = ds.map_batches(
-        MinHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4),
+        MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
         max_restarts=0,  # ray#53727
     ).materialize()
     # scale-aware shuffle width (see ngram_jaccard_pairs): band-row count is
@@ -872,14 +890,16 @@ class SimHasher:
         sim = ((acc > 0).astype(np.uint64) * self._WEIGHTS[None, :]).sum(axis=1)
         return (sim & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = pa.array(batch["text"].fillna("").tolist(), pa.string())
-        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": self.simhash(texts)})
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # Arrow in/out — see MinHasher.__call__ (hashable schemas downstream)
+        texts = pa.compute.fill_null(batch["text"].combine_chunks(), "")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "simhash": pa.array(self.simhash(texts), pa.int64())})
 
 
 def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4),
+        SimHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
         max_restarts=0,  # ray#53727
     )
 

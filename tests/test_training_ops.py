@@ -53,8 +53,9 @@ def test_minhash_lsh_finds_near_duplicates():
     base = " ".join(f"tok{i:03d}" for i in range(100))
     near = base.replace("tok050", "tok999")  # ~high overlap
     assert _jac(base, near) > 0.8
-    batch = pd.DataFrame({"doc_id": [0, 1], "text": [base, near]})
-    bands = mh(batch)
+    batch = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array([base, near], pa.string())})
+    bands = mh(batch).to_pandas()
     b0 = set(map(tuple, bands[bands.doc_id == 0][["band", "bucket"]].values))
     b1 = set(map(tuple, bands[bands.doc_id == 1][["band", "bucket"]].values))
     assert b0 & b1, "near-duplicates must share at least one LSH band bucket"
@@ -120,7 +121,8 @@ def test_simhash_vectorized_identical_to_scalar():
         "aaa aaa aaa bbb", "mixed Case TOKENS with_underscores 123",
     ]
     sh = SimHasher()
-    got = sh(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))["simhash"]
+    got = sh(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                       "text": pa.array(texts, pa.string())}))["simhash"].to_pylist()
     for i, t in enumerate(texts):
         assert int(got[i]) == _scalar_simhash(t), t
 
@@ -130,7 +132,8 @@ def test_simhash_locality():
     base = " ".join(f"word{i:03d}" for i in range(80))
     near = base.replace("word007", "word777")
     far = " ".join(f"other{i:03d}" for i in range(80))
-    h = sh(pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, far]}))["simhash"]
+    h = sh(pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": pa.array([base, near, far], pa.string())}))["simhash"].to_pylist()
     def ham(x, y):
         return bin(int(x) ^ int(y)).count("1")
     assert ham(h[0], h[1]) < ham(h[0], h[2])
@@ -433,7 +436,8 @@ def test_dedup_simhash_matches_brute_force(tmp_path):
         str(sf / "documents.parquet"),
     )
     got = dedup_simhash(str(sf), radius=3).to_pylist()
-    sh = SimHasher()(pd.DataFrame({"doc_id": range(60), "text": texts}))
+    sh = SimHasher()(pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                               "text": pa.array(texts, pa.string())}))
     s = sh["simhash"].to_numpy().astype(np.uint64)
     exp = []
     for a in range(60):
