@@ -503,3 +503,39 @@ def test_parse_entries_fallback_branches(tmp_path):
         (3, "", 0, "error"),
         (4, "", 0, "error"),
     ]
+
+
+def test_new_ops_tiny_and_degenerate_corpora(tmp_path):
+    """1-doc and all-empty-text corpora must not crash any round-3 op (the
+    empty-normal-side join and empty-candidate paths)."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.multimodal import audio_features, image_features
+    from librecatastro_ray.pipelines.training import (
+        dedup_simhash, parse_entries_fallback)
+
+    one = tmp_path / "one"
+    one.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["spark alone"], pa.string()),
+                  "lang": pa.array(["en"], pa.string())}),
+        str(one / "documents.parquet"),
+    )
+    assert dedup_simhash(str(one)).num_rows == 0  # no pairs from one doc
+    assert parse_entries_fallback(str(one)).count() == 1
+    assert image_features(str(one)).count() == 1
+    assert audio_features(str(one)).count() == 1
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["", "", None], pa.string()),
+                  "lang": pa.array(["en", "de", None], pa.string())}),
+        str(empty / "documents.parquet"),
+    )
+    # three empty docs share simhash 0 → all pairs at hamming 0
+    assert dedup_simhash(str(empty)).num_rows == 3
+    rows = parse_entries_fallback(str(empty)).to_pandas()
+    assert (rows["via"] == "error").all() and len(rows) == 3
