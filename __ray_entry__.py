@@ -352,17 +352,25 @@ def _q_ivf_topk(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-_LSH_PAIRS_CACHE: dict[tuple[str, float], Any] = {}
+_LSH_PAIRS_CACHE: dict[tuple[str, str, float], Any] = {}
 
 
 def _lsh_pairs(sf_dir: str, threshold: float):
     """Per-process memo of the verified LSH pair table (output-scale): the
     cluster-decision entry reuses the pair entry's result instead of
-    re-running the whole candidate pipeline."""
+    re-running the whole candidate pipeline.  Keyed on the corpus CONTENT
+    fingerprint, not just the path — a regenerated sf_dir must not serve
+    the previous corpus's pairs."""
     from librecatastro_ray.pipelines import training as T
+    from librecatastro_ray.pipelines.build import corpus_fingerprint
 
-    key = (os.path.abspath(sf_dir), threshold)
+    key = (
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        threshold,
+    )
     if key not in _LSH_PAIRS_CACHE:
+        _LSH_PAIRS_CACHE.clear()  # at most one live corpus per process
         _LSH_PAIRS_CACHE[key] = T.minhash_lsh_candidates(sf_dir, threshold)
     return _LSH_PAIRS_CACHE[key]
 

@@ -60,6 +60,19 @@ class Analyzer(Protocol):
         ...
 
 
+def _scalar_via_batch(tokenize_batch, s: str | None) -> list[str]:
+    """Scalar tokenize routed through the BATCH kernel, so the two Analyzer
+    paths agree by construction.  This matters beyond ASCII: Python
+    ``str.lower()`` applies full Unicode case mapping while Arrow's
+    ``utf8_lower`` applies utf8proc's simple mapping (e.g. ``İ`` → ``i̇`` vs
+    ``i``), so a hand-rolled scalar twin silently diverges and a query for
+    text that is literally in the corpus can return zero hits."""
+    if s is None:
+        return []
+    _parents, terms, _dl = tokenize_batch(pa.array([s], pa.string()))
+    return [str(t) for t in terms]
+
+
 class CodeAnalyzer:
     """The pinned canonical tokenizer (lowercase maximal ``[a-z0-9_]+``
     runs) — delegates to :mod:`librecatastro_ray.functions.tokenizer`, the
@@ -69,7 +82,7 @@ class CodeAnalyzer:
 
     @staticmethod
     def tokenize(s: str | None) -> list[str]:
-        return tokenizer.tokenize(s)
+        return _scalar_via_batch(tokenizer.tokenize_batch, s)
 
     @staticmethod
     def tokenize_batch(arr):
@@ -82,20 +95,13 @@ _WS_CLASS = "[ \\t\\n\\r\\f\\v]+"  # explicit ASCII class: identical in re + RE2
 class WhitespaceAnalyzer:
     """Lowercase + whitespace-run split (the ES ``whitespace`` analyzer plus
     a lowercase filter).  Tokens keep their punctuation: ``Foo.bar(x)`` is
-    one term.  The whitespace class is written out explicitly so the scalar
-    (Python ``re``) and batch (Arrow RE2) paths match byte-for-byte."""
+    one term.  The scalar path is the batch kernel applied to one row, so
+    both sides match by construction (see ``_scalar_via_batch``)."""
 
     analyzer_id = "whitespace_v1"
 
-    def __init__(self) -> None:
-        import re
-
-        self._split = re.compile(_WS_CLASS)
-
     def tokenize(self, s: str | None) -> list[str]:
-        if s is None:
-            return []
-        return [t for t in self._split.split(s.lower()) if t]
+        return _scalar_via_batch(self.tokenize_batch, s)
 
     def tokenize_batch(self, arr):
         return tokenizer.tokenize_batch_pattern(arr, _WS_CLASS)

@@ -205,8 +205,21 @@ def build_index(
     _t0 = _t()
 
     if resume and os.path.exists(manifest_path(index_dir)):
-        report["phases_skipped"] = ["all"]
-        return {"manifest": load_manifest(index_dir), "report": report}
+        # a COMPLETE index is reused as-is (drop to rebuild) — but only if
+        # it was built with the REQUESTED analysis strategy: silently
+        # returning an index built with another analyzer/scorer would hand
+        # the caller something their queries get rejected against.  On a
+        # mismatch, fall through: the phase markers carry the old analysis
+        # fingerprint, so the stale phases are wiped and rebuilt.
+        mc = load_manifest(index_dir).get("config", {})
+        if (
+            mc.get("analyzer", config.analyzer) == config.analyzer
+            and mc.get("scorer", config.scorer) == config.scorer
+            and float(mc.get("k1", config.k1)) == float(config.k1)
+            and float(mc.get("b", config.b)) == float(config.b)
+        ):
+            report["phases_skipped"] = ["all"]
+            return {"manifest": load_manifest(index_dir), "report": report}
     if not resume:
         from librecatastro_ray.state.manifest import drop_index
 
@@ -221,13 +234,21 @@ def build_index(
     # index, row-invariant (sha256) table and BM25 norm (dl) table in a
     # single columnar parquet, written block-per-file by the id-apply tasks
     src_fp = corpus_fingerprint(corpus) if isinstance(corpus, str) else None
+    # analysis fingerprint: a resumed build must NOT mix phases produced by
+    # different strategies — dl/avgdl (docs phase) depend on the analyzer,
+    # postings + block-max tfnorm (shuffle/merge) on analyzer AND scorer
+    # params.  A mismatch invalidates everything derived from the old pair
+    # (markers without the key — pre-strategy indexes — are canonical).
+    analysis_fp = f"{config.analyzer}|{config.scorer}|k1={config.k1}|b={config.b}"
     stats = None
     if _phase_done(docs_dir):
         stats = read_json(_marker(docs_dir))
-        if src_fp is not None and stats.get("src_fp") not in (None, src_fp):
-            # crash-resume against a CHANGED corpus: the finished docs phase
-            # (and everything derived from it) is stale — invalidate all of
-            # it rather than mixing old and new content
+        stale_src = src_fp is not None and stats.get("src_fp") not in (None, src_fp)
+        stale_analysis = stats.get("analysis_fp") not in (None, analysis_fp)
+        if stale_src or stale_analysis:
+            # crash-resume against a CHANGED corpus or analysis strategy:
+            # the finished docs phase (and everything derived from it) is
+            # stale — invalidate all of it rather than mixing old and new
             import shutil
 
             shutil.rmtree(docs_dir, ignore_errors=True)
@@ -243,7 +264,8 @@ def build_index(
         # resume, content-fingerprinted) and clears them itself when not
         ds = _as_dataset(corpus)
         n_docs_a, sum_dl_a = dedup_assign_write(ds, docs_dir, analyzer_id=config.analyzer)
-        stats = {"n_docs": int(n_docs_a), "sum_dl": int(sum_dl_a), "src_fp": src_fp}
+        stats = {"n_docs": int(n_docs_a), "sum_dl": int(sum_dl_a),
+                 "src_fp": src_fp, "analysis_fp": analysis_fp}
         atomic_write_json(_marker(docs_dir), stats)
     report["phase_seconds"]["docs"] = round(_t() - _t0, 3)
     _t0 = _t()

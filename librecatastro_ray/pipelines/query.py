@@ -136,6 +136,21 @@ class QueryEngine:
                     f"got {getattr(given, f'{kind}_id')!r} — rebuild the "
                     f"index or drop the explicit {kind}"
                 )
+        # the scorer's PARAMETERS are part of its identity, not just the id:
+        # the block-max tfnorm bounds stored at build time were computed with
+        # the build k1/b, so an explicit bm25_v1 with different parameters
+        # would break WAND pruning (bounds no longer upper-bound) — reject it
+        if scorer is not None:
+            for p in ("k1", "b"):
+                got = getattr(scorer, p, None)
+                want_p = getattr(self.config, p)
+                if got is not None and float(got) != float(want_p):
+                    raise ValueError(
+                        f"index at {index_dir} was built with {p}={want_p}; "
+                        f"the explicit scorer has {p}={got} — the stored "
+                        f"block-max bounds are only valid for the build "
+                        f"parameters (rebuild, or drop the explicit scorer)"
+                    )
         self.analyzer = analyzer or get_analyzer(self.config.analyzer)
         self.scorer = scorer or get_scorer(
             self.config.scorer, self.config.k1, self.config.b

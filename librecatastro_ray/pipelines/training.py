@@ -388,17 +388,18 @@ def ngram_jaccard_pairs(
     instead of logged."""
     from ray.data.aggregate import Count
 
-    if num_partitions is None:
-        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
     ds = _docs_ds(sf_dir, ["doc_id", "source", "text"])
     keys = ds.map_batches(
-        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            # NULL source docs form their own "" bucket — a null grouping
+            # key would otherwise hit undefined groupby/sort semantics in
+            # the big-bucket branch
+            "source": pa.compute.fill_null(t["source"].combine_chunks(), ""),
+        }),
+        batch_format="pyarrow",
     ).materialize()  # key rows (~20 B/doc) — consumed by sizes + both join sides
-    # scale-aware shuffle width: partitions ∝ rows (free metadata count on the
-    # materialized keys), CPU-clamped — a 500-doc test corpus gets 2 partitions
-    # instead of 64 mostly-empty ones (whose schema-less bundles trip the
-    # executor's drift warning), a 100 TB corpus still gets the CPU clamp
-    num_partitions = max(2, min(num_partitions, keys.count() // 2048 + 1))
+    num_partitions = _shuffle_width(keys.count(), 2048, num_partitions)
     # bucket sizes: tiny vectorized aggregate; only the over-cap tail (a >cap
     # bucket means >cap docs sharing one source) is collected on the driver
     sizes = keys.groupby("source").aggregate(Count(alias_name="bsize"))
@@ -411,12 +412,16 @@ def ngram_jaccard_pairs(
     if "source" in big.columns and not big.empty:
         # per-big-source doc_id cutoff (= the cap-th smallest): few groups,
         # key-only rows
+        # key=str sort: a NULL source group (None in the set) must not crash
+        # the ordering; pa.array handles a None member fine
         big_set = set(big["source"].tolist())
         big_ref = ray.put(big_set)
 
         def only_big(t: pa.Table) -> pa.Table:
             return t.filter(pa.compute.is_in(
-                t["source"], value_set=pa.array(sorted(ray.get(big_ref)))))
+                t["source"],
+                value_set=pa.array(sorted(ray.get(big_ref), key=lambda s: (s is None, s))),
+            ))
 
         def cutoff(g: pd.DataFrame) -> pd.DataFrame:
             ids = np.sort(g["doc_id"].to_numpy())
@@ -592,10 +597,26 @@ class MinHasher:
         )
 
 
-def _pairs_in_bucket(g: pd.DataFrame, carry: tuple[str, ...] = ()) -> pa.Table:
+
+def _shuffle_width(
+    row_count: int, rows_per_partition: int, num_partitions: int | None = None
+) -> int:
+    """Scale-aware hash-shuffle width, shared by every dedup/curation join:
+    the caller's explicit override, else a CPU clamp (the join's aggregator
+    actor pool starves when partitions outnumber what the cluster can host),
+    narrowed proportionally to the input rows so tiny corpora don't fan out
+    into mostly-empty partitions (whose schema-less bundles trip the
+    executor's schema-drift warning).  A 100 TB corpus keeps the CPU clamp."""
+    if num_partitions is None:
+        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
+    return max(2, min(num_partitions, row_count // rows_per_partition + 1))
+
+
+def _pairs_in_bucket(g: pd.DataFrame, carry: tuple[str, ...] = (),
+                     cap: int = _LSH_BUCKET_CAP) -> pa.Table:
     docs = g.drop_duplicates("doc_id").sort_values("doc_id")
-    if len(docs) > _LSH_BUCKET_CAP:
-        docs = docs.iloc[:_LSH_BUCKET_CAP]
+    if len(docs) > cap:
+        docs = docs.iloc[:cap]
     ids = docs["doc_id"].to_numpy()
     a_idx, b_idx = np.triu_indices(len(ids), k=1)
     cols = {"doc_a": pa.array(ids[a_idx], pa.int64()),
@@ -630,6 +651,7 @@ def _attach_text(pairs: ray.data.Dataset, texts: ray.data.Dataset, key_col: str,
 def _bucketed_pair_candidates(
     bands: ray.data.Dataset, num_partitions: int, cap: int = _LSH_BUCKET_CAP,
     carry: tuple[str, ...] = (), dedupe: bool = True,
+    stats_out: dict | None = None,
 ) -> ray.data.Dataset:
     """Deduped candidate pairs (doc_a < doc_b) from a ``(band, bucket,
     doc_id)`` Dataset — the shared candidate-generation engine of the
@@ -667,6 +689,15 @@ def _bucketed_pair_candidates(
         lambda t: t.filter(pa.compute.greater(t["bsize"], cap)),
         batch_format="pyarrow",
     ).to_pandas()
+    if stats_out is not None:
+        # loud, not silent: per over-cap bucket the capped expansion loses at
+        # most C(size,2) - C(cap,2) pairs (a pair may still surface through
+        # another band, so this is an upper bound on coverage loss)
+        bs = big["bsize"].to_numpy() if "bsize" in big.columns else np.zeros(0)
+        stats_out["overcap_buckets"] = int(len(bs))
+        stats_out["dropped_pairs_bound"] = int(
+            (bs * (bs - 1) // 2 - cap * (cap - 1) // 2).sum()
+        ) if len(bs) else 0
     big_keys = (
         set(zip(big["band"].tolist(), big["bucket"].tolist()))
         if "band" in big.columns and not big.empty
@@ -705,7 +736,7 @@ def _bucketed_pair_candidates(
         oversized = bands.map_batches(lambda t: split(t, True), batch_format="pyarrow")
         # degenerate buckets: capped per-group expansion (few groups)
         cand_big = oversized.groupby(["band", "bucket"]).map_groups(
-            lambda g: _pairs_in_bucket(g, carry), batch_format="pandas"
+            lambda g: _pairs_in_bucket(g, carry, cap), batch_format="pandas"
         )
         if not dedupe:
             # even in no-global-dedup mode the degenerate branch is deduped:
@@ -820,10 +851,6 @@ def minhash_lsh_candidates(
     exact all-pairs SQL."""
     from ray.data.aggregate import Count
 
-    if num_partitions is None:
-        # the join's aggregator actor pool starves (hangs) when partitions
-        # outnumber what the cluster's CPUs can host — size to the cluster
-        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
     # bands are consumed twice (size aggregate + join side) — materialize the
     # ONE minhash pass; ~24 B/row of band keys, never corpus text
@@ -831,10 +858,7 @@ def minhash_lsh_candidates(
         MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
         max_restarts=0,  # ray#53727
     ).materialize()
-    # scale-aware shuffle width (see ngram_jaccard_pairs): band-row count is
-    # free metadata on the materialized Dataset; tiny corpora get few
-    # partitions, big ones keep the CPU clamp
-    num_partitions = max(2, min(num_partitions, bands.count() // 4096 + 1))
+    num_partitions = _shuffle_width(bands.count(), 4096, num_partitions)
     # candidate generation: shared bucket-self-join engine (degenerate-bucket
     # guard + native hash join + distributed pair dedup)
     # no GLOBAL pair dedup: band-duplication on real corpora is small (~9%
@@ -969,11 +993,17 @@ def _empty_hamming_pairs() -> pa.Table:
 
 def dedup_simhash(
     sf_dir: str, radius: int = _SIMHASH_RADIUS, num_partitions: int | None = None,
-    bucket_cap: int = _LSH_BUCKET_CAP,
-) -> pa.Table:
+    bucket_cap: int = _LSH_BUCKET_CAP, return_stats: bool = False,
+) -> pa.Table | tuple[pa.Table, dict]:
     """SimHash near-dup: all pairs within Hamming distance ``radius`` of the
-    64-bit signature, EXACT (banding has no false negatives; an exact
-    vectorized popcount kills the false positives).
+    64-bit signature — EXACT (banding has no false negatives; an exact
+    vectorized popcount kills the false positives) UP TO the degenerate-
+    bucket cap: a (band, bucket) shared by more than ``bucket_cap`` docs is
+    deterministically truncated to the ``bucket_cap`` smallest doc_ids, and
+    ``return_stats=True`` returns ``(pairs, {overcap_buckets,
+    dropped_pairs_bound})`` so the truncation is COUNTED, never silent (the
+    test corpora sit far below the cap, so capped and uncapped agree there
+    and the SQL oracle's all-pairs replay stays exact).
 
     Scale path is the pigeonhole banding of Manku et al. (WWW'07 simhash
     dedup): split the signature into ``radius+1`` contiguous bit bands — a
@@ -990,9 +1020,7 @@ def dedup_simhash(
     elasticsearch_utils.py:100-136's exact-id dedup generalized to
     near-identity."""
     sigs = simhash_signatures(sf_dir).materialize()  # 16 B/row
-    if num_partitions is None:
-        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
-    num_partitions = max(2, min(num_partitions, sigs.count() // 4096 + 1))
+    num_partitions = _shuffle_width(sigs.count(), 4096, num_partitions)
     bands = sigs.map_batches(
         lambda t: _simhash_bands(t, radius), batch_format="pyarrow"
     ).materialize()  # consumed twice by the candidate engine (sizes + join)
@@ -1000,8 +1028,10 @@ def dedup_simhash(
     # ~1 ns/pair, far cheaper than the pair-dedup shuffle, so verify every
     # duplicate inline on the join output and dedup the OUTPUT-scale
     # verified set instead (a pair appears in ≤ radius+1 bands)
+    stats: dict = {}
     cand = _bucketed_pair_candidates(
-        bands, num_partitions, bucket_cap, carry=("simhash",), dedupe=False
+        bands, num_partitions, bucket_cap, carry=("simhash",), dedupe=False,
+        stats_out=stats,
     )
 
     def verify(t: pa.Table) -> pa.Table:
@@ -1019,11 +1049,13 @@ def dedup_simhash(
     out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
     # verified pairs: output-scale
     if out.empty:
-        return _empty_hamming_pairs()
+        result = _empty_hamming_pairs()
+        return (result, stats) if return_stats else result
     out = out.drop_duplicates(["doc_a", "doc_b"])  # ≤ radius+1 copies/pair
-    return pa.Table.from_pandas(
+    result = pa.Table.from_pandas(
         out.sort_values(["doc_a", "doc_b"], ignore_index=True), preserve_index=False
     )
+    return (result, stats) if return_stats else result
 
 
 # ---------------------------------------------------------------------------
@@ -1726,13 +1758,10 @@ def curate_corpus(
             }
         )
 
-    if num_partitions is None:
-        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
     feats = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         features, batch_format="pyarrow", batch_size=4096
     ).materialize()  # consumed twice (dedup-min side + join side); never text
-    # scale-aware shuffle width (see ngram_jaccard_pairs)
-    num_partitions = max(2, min(num_partitions, feats.count() // 4096 + 1))
+    num_partitions = _shuffle_width(feats.count(), 4096, num_partitions)
     winners = feats.groupby("sha256").aggregate(Min("doc_id", alias_name="keep_id"))
     joined = feats.join(winners, "inner", num_partitions, on=("sha256",))
 

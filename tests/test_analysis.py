@@ -193,3 +193,58 @@ def test_tfidf_scorer_end_to_end(tmp_path_factory, corpus_small):
         for r, (_, s) in zip(got, exp):
             assert abs(r["score"] - s) < 1e-6
         assert eng.match_wand(text, 10).to_pylist() == got
+
+
+def test_scalar_batch_unicode_lowercase_identity():
+    """The scalar tokenize path is the batch kernel applied to one row, so
+    full-vs-simple Unicode case mapping can no longer split them ('İstanbul'
+    lowers differently under str.lower() and utf8_lower)."""
+    import pyarrow as pa
+
+    for an in (CodeAnalyzer(), WhitespaceAnalyzer()):
+        for s in ["İstanbul", "STRASSE ß", "ΣΊΣΥΦΟΣ", "Foo.bar(x) Baz"]:
+            _parents, terms, _dl = an.tokenize_batch(pa.array([s], pa.string()))
+            assert an.tokenize(s) == [str(t) for t in terms], (an.analyzer_id, s)
+
+
+def test_scorer_param_mismatch_rejected(built_index):
+    """An explicit bm25_v1 scorer with different k1/b invalidates the stored
+    block-max bounds and must be rejected, not silently accepted."""
+    from librecatastro_ray.functions.analysis import BM25Scorer
+    from librecatastro_ray.pipelines.query import QueryEngine
+
+    with pytest.raises(ValueError, match="k1"):
+        QueryEngine(built_index[0], scorer=BM25Scorer(k1=5.0, b=0.75))
+    with pytest.raises(ValueError, match="b="):
+        QueryEngine(built_index[0], scorer=BM25Scorer(k1=1.2, b=0.2))
+    QueryEngine(built_index[0], scorer=BM25Scorer())  # matching params pass
+
+
+def test_resume_invalidates_on_analyzer_change(tmp_path, corpus_small):
+    """A resumed build with a DIFFERENT analyzer must invalidate the finished
+    phases (dl/avgdl from the old tokenizer + postings from the new one =
+    silently wrong scores), not skip them."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.build import build_index
+    from librecatastro_ray.pipelines.query import QueryEngine
+
+    corpus_dir = str(tmp_path / "corpus")
+    pq.write_table(corpus_small, corpus_dir + ".parquet")
+    idx = str(tmp_path / "idx")
+    cfg = dict(num_partitions=2, num_salts=2, hot_df_ratio=0.2, block_size=16)
+    out1 = build_index(corpus_dir + ".parquet", idx, IndexConfig(**cfg))
+    assert out1["report"]["phases_skipped"] == []
+    # same analyzer resumes clean
+    out2 = build_index(corpus_dir + ".parquet", idx, IndexConfig(**cfg))
+    assert out2["report"]["phases_skipped"] == ["all"]
+    # changed analyzer must rebuild, and the result must equal a fresh build
+    out3 = build_index(
+        corpus_dir + ".parquet", idx, IndexConfig(**cfg, analyzer="whitespace_v1")
+    )
+    assert "docs" in out3["report"].get("phases_invalidated", [])
+    fresh = str(tmp_path / "fresh")
+    build_index(corpus_dir + ".parquet", fresh, IndexConfig(**cfg, analyzer="whitespace_v1"))
+    a = QueryEngine(idx).match("def return", k=5).to_pylist()
+    b = QueryEngine(fresh).match("def return", k=5).to_pylist()
+    assert a == b

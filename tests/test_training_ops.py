@@ -466,8 +466,9 @@ def test_dedup_simhash_degenerate_bucket(tmp_path):
         str(sf / "documents.parquet"),
     )
     got = dedup_simhash(str(sf), radius=3, bucket_cap=5).to_pylist()
+    # the cap both routes AND truncates: only the 5 smallest doc_ids pair up
     exp = [{"doc_a": a, "doc_b": b, "hamming": 0}
-           for a in range(n) for b in range(a + 1, n)]
+           for a in range(5) for b in range(a + 1, 5)]
     assert got == exp
 
 
@@ -539,3 +540,29 @@ def test_new_ops_tiny_and_degenerate_corpora(tmp_path):
     assert dedup_simhash(str(empty)).num_rows == 3
     rows = parse_entries_fallback(str(empty)).to_pandas()
     assert (rows["via"] == "error").all() and len(rows) == 3
+
+
+def test_dedup_simhash_overcap_stats(tmp_path):
+    """Over-cap degenerate buckets are truncated LOUDLY: return_stats
+    surfaces the bucket count and a dropped-pairs bound."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import dedup_simhash
+
+    n = 12
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["same text here"] * n, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    pairs, stats = dedup_simhash(str(sf), radius=3, bucket_cap=5, return_stats=True)
+    assert pairs.num_rows == 5 * 4 // 2  # truncated to the 5 smallest ids
+    assert stats["overcap_buckets"] == 4  # all 4 bands share one bucket
+    # per bucket: C(12,2) - C(5,2) = 66 - 10 = 56 dropped (bound, per band)
+    assert stats["dropped_pairs_bound"] == 4 * 56
+    # under-cap corpus reports zero drops
+    pairs2, stats2 = dedup_simhash(str(sf), radius=3, return_stats=True)
+    assert stats2 == {"overcap_buckets": 0, "dropped_pairs_bound": 0}
+    assert pairs2.num_rows == n * (n - 1) // 2
