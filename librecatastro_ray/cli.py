@@ -123,15 +123,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.must or args.must_not or args.should or kw_eq or kw_pre:
             # --text combined with bool/keyword flags = the ES shape
             # bool{must:[match text], filter:[...]} — the match clause becomes
-            # required should terms (OR-scored, minimum_should_match=1)
-            from librecatastro_ray.functions.tokenizer import tokenize
-
+            # required should terms (OR-scored, minimum_should_match=1).
+            # Tokenize with the INDEX's analyzer (manifest-pinned), not the
+            # module default — a whitespace_v1 index tokenizes differently
             if args.text and args.should:
                 p.error("--text and --should cannot be combined (the text match "
                         "is required, should terms are optional — pass the text "
                         "terms via --should explicitly if optional is intended)")
                 return 2
-            text_terms = tokenize(args.text) if args.text else []
+            text_terms = eng.analyzer.tokenize(args.text) if args.text else []
             res = eng.bool_must(
                 list(args.must or []), k=args.k, keyword_eq=kw_eq,
                 keyword_prefix=kw_pre, must_not_terms=args.must_not,

@@ -208,18 +208,24 @@ def build_index(
         # a COMPLETE index is reused as-is (drop to rebuild) — but only if
         # it was built with the REQUESTED analysis strategy: silently
         # returning an index built with another analyzer/scorer would hand
-        # the caller something their queries get rejected against.  On a
-        # mismatch, fall through: the phase markers carry the old analysis
-        # fingerprint, so the stale phases are wiped and rebuilt.
-        mc = load_manifest(index_dir).get("config", {})
+        # the caller something their queries get rejected against.  Legacy
+        # manifests (no strategy keys) resolve to the CANONICAL defaults
+        # via IndexConfig.from_json, never to the requested values.
+        mcfg = IndexConfig.from_json(load_manifest(index_dir).get("config", {}))
         if (
-            mc.get("analyzer", config.analyzer) == config.analyzer
-            and mc.get("scorer", config.scorer) == config.scorer
-            and float(mc.get("k1", config.k1)) == float(config.k1)
-            and float(mc.get("b", config.b)) == float(config.b)
+            mcfg.analyzer == config.analyzer
+            and mcfg.scorer == config.scorer
+            and float(mcfg.k1) == float(config.k1)
+            and float(mcfg.b) == float(config.b)
         ):
             report["phases_skipped"] = ["all"]
             return {"manifest": load_manifest(index_dir), "report": report}
+        # mismatch: fall through to a rebuild (the phase markers carry the
+        # old analysis fingerprint, so the stale phases are wiped).  Remove
+        # the stale manifest FIRST — otherwise a crash mid-rebuild leaves a
+        # "complete" manifest over gutted phase dirs and the next resume
+        # would return it as-is.
+        os.remove(manifest_path(index_dir))
     if not resume:
         from librecatastro_ray.state.manifest import drop_index
 
@@ -237,14 +243,19 @@ def build_index(
     # analysis fingerprint: a resumed build must NOT mix phases produced by
     # different strategies — dl/avgdl (docs phase) depend on the analyzer,
     # postings + block-max tfnorm (shuffle/merge) on analyzer AND scorer
-    # params.  A mismatch invalidates everything derived from the old pair
-    # (markers without the key — pre-strategy indexes — are canonical).
-    analysis_fp = f"{config.analyzer}|{config.scorer}|k1={config.k1}|b={config.b}"
+    # params.  A marker WITHOUT the key is a pre-strategy index, which was
+    # by definition built with the canonical defaults — it must compare
+    # against the default fingerprint, not match any requested strategy.
+    def _analysis_fp(cfg: IndexConfig) -> str:
+        return f"{cfg.analyzer}|{cfg.scorer}|k1={cfg.k1}|b={cfg.b}"
+
+    analysis_fp = _analysis_fp(config)
     stats = None
     if _phase_done(docs_dir):
         stats = read_json(_marker(docs_dir))
         stale_src = src_fp is not None and stats.get("src_fp") not in (None, src_fp)
-        stale_analysis = stats.get("analysis_fp") not in (None, analysis_fp)
+        stored_fp = stats.get("analysis_fp") or _analysis_fp(IndexConfig())
+        stale_analysis = stored_fp != analysis_fp
         if stale_src or stale_analysis:
             # crash-resume against a CHANGED corpus or analysis strategy:
             # the finished docs phase (and everything derived from it) is

@@ -390,13 +390,12 @@ def ngram_jaccard_pairs(
 
     ds = _docs_ds(sf_dir, ["doc_id", "source", "text"])
     keys = ds.map_batches(
-        lambda t: pa.table({
-            "doc_id": t["doc_id"],
-            # NULL source docs form their own "" bucket — a null grouping
-            # key would otherwise hit undefined groupby/sort semantics in
-            # the big-bucket branch
-            "source": pa.compute.fill_null(t["source"].combine_chunks(), ""),
-        }),
+        # NULL-source docs are DROPPED from pairing — SQL join-key semantics
+        # (the oracle's `a.source = b.source` never matches NULL), and it
+        # keeps an unknown-provenance-heavy corpus from collapsing into one
+        # degenerate mega-bucket
+        lambda t: t.select(["doc_id", "source"]).filter(
+            pa.compute.is_valid(t["source"].combine_chunks())),
         batch_format="pyarrow",
     ).materialize()  # key rows (~20 B/doc) — consumed by sizes + both join sides
     num_partitions = _shuffle_width(keys.count(), 2048, num_partitions)
@@ -412,16 +411,12 @@ def ngram_jaccard_pairs(
     if "source" in big.columns and not big.empty:
         # per-big-source doc_id cutoff (= the cap-th smallest): few groups,
         # key-only rows
-        # key=str sort: a NULL source group (None in the set) must not crash
-        # the ordering; pa.array handles a None member fine
         big_set = set(big["source"].tolist())
         big_ref = ray.put(big_set)
 
         def only_big(t: pa.Table) -> pa.Table:
             return t.filter(pa.compute.is_in(
-                t["source"],
-                value_set=pa.array(sorted(ray.get(big_ref), key=lambda s: (s is None, s))),
-            ))
+                t["source"], value_set=pa.array(sorted(ray.get(big_ref)))))
 
         def cutoff(g: pd.DataFrame) -> pd.DataFrame:
             ids = np.sort(g["doc_id"].to_numpy())

@@ -196,15 +196,16 @@ def test_tfidf_scorer_end_to_end(tmp_path_factory, corpus_small):
 
 
 def test_scalar_batch_unicode_lowercase_identity():
-    """The scalar tokenize path is the batch kernel applied to one row, so
-    full-vs-simple Unicode case mapping can no longer split them ('İstanbul'
-    lowers differently under str.lower() and utf8_lower)."""
-    import pyarrow as pa
-
-    for an in (CodeAnalyzer(), WhitespaceAnalyzer()):
-        for s in ["İstanbul", "STRASSE ß", "ΣΊΣΥΦΟΣ", "Foo.bar(x) Baz"]:
-            _parents, terms, _dl = an.tokenize_batch(pa.array([s], pa.string()))
-            assert an.tokenize(s) == [str(t) for t in terms], (an.analyzer_id, s)
+    """Scalar tokenize must produce the BATCH kernel's tokens (pinned
+    expected values, so an Arrow/utf8proc behavior change is caught, not
+    just scalar==batch by delegation).  Python str.lower() would give
+    'i̇stanbul' (full case mapping, combining dot splits the token) — the
+    engine's utf8_lower simple mapping gives 'istanbul'."""
+    assert CodeAnalyzer().tokenize("İstanbul") == ["istanbul"]
+    assert CodeAnalyzer().tokenize("ΣΊΣΥΦΟΣ foo_1") == ["foo_1"]
+    assert WhitespaceAnalyzer().tokenize("İstanbul Foo.bar(x)") == [
+        "istanbul", "foo.bar(x)"]
+    assert WhitespaceAnalyzer().tokenize("STRASSE ß") == ["strasse", "ß"]
 
 
 def test_scorer_param_mismatch_rejected(built_index):
@@ -248,3 +249,69 @@ def test_resume_invalidates_on_analyzer_change(tmp_path, corpus_small):
     a = QueryEngine(idx).match("def return", k=5).to_pylist()
     b = QueryEngine(fresh).match("def return", k=5).to_pylist()
     assert a == b
+
+
+def test_legacy_marker_resumed_with_changed_params_invalidates(tmp_path, corpus_small):
+    """A pre-strategy phase marker (no analysis_fp) means 'built with the
+    canonical defaults' — resuming it with different k1 must invalidate, not
+    match anything (stale block-max bounds would break WAND pruning)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.build import build_index
+    from librecatastro_ray.state.manifest import manifest_path
+
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(corpus_small, corpus)
+    idx = str(tmp_path / "idx")
+    cfg = dict(num_partitions=2, num_salts=2, hot_df_ratio=0.2, block_size=16)
+    build_index(corpus, idx, IndexConfig(**cfg))
+    # simulate a CRASHED legacy build: docs phase done, marker without
+    # analysis_fp, no manifest
+    marker = os.path.join(idx, "docs", "_DONE.json")
+    stats = json.load(open(marker))
+    stats.pop("analysis_fp")
+    json.dump(stats, open(marker, "w"))
+    os.remove(manifest_path(idx))
+    out = build_index(corpus, idx, IndexConfig(**cfg, k1=2.0))
+    assert "docs" in out["report"].get("phases_invalidated", [])
+    # same shape with DEFAULT params resumes the legacy marker cleanly
+    os.remove(manifest_path(idx))
+    stats = json.load(open(marker))
+    stats.pop("analysis_fp")
+    json.dump(stats, open(marker, "w"))
+    out2 = build_index(corpus, idx, IndexConfig(**cfg))
+    assert "docs" in out2["report"]["phases_skipped"]
+
+
+def test_complete_index_strategy_change_is_crash_safe(tmp_path, corpus_small):
+    """Requesting a different analyzer over a COMPLETE index removes the
+    stale manifest BEFORE wiping phases, so a crash mid-rebuild cannot
+    resurrect a gutted index as complete."""
+    import os
+    from unittest import mock
+
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines import build as build_mod
+    from librecatastro_ray.pipelines.build import build_index
+    from librecatastro_ray.state.manifest import manifest_path
+
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(corpus_small, corpus)
+    idx = str(tmp_path / "idx")
+    cfg = dict(num_partitions=2, num_salts=2, hot_df_ratio=0.2, block_size=16)
+    build_index(corpus, idx, IndexConfig(**cfg))
+    assert os.path.exists(manifest_path(idx))
+    # crash immediately after the fast-path falls through (before any phase)
+    with mock.patch.object(build_mod, "corpus_fingerprint",
+                           side_effect=RuntimeError("boom")):
+        with pytest.raises(RuntimeError, match="boom"):
+            build_index(corpus, idx, IndexConfig(**cfg, analyzer="whitespace_v1"))
+    # the stale manifest must be gone: a resume with the ORIGINAL analyzer
+    # rebuilds instead of returning the gutted index as complete
+    assert not os.path.exists(manifest_path(idx))
+    out = build_index(corpus, idx, IndexConfig(**cfg))
+    assert out["report"]["phases_skipped"] != ["all"]
