@@ -419,6 +419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.doc_fingerprints,
         # B2/B3: 1→N parse + error guard + per-doc fallback recovery
         "parse_entries_fallback": T.parse_entries_fallback,
+        # deterministic hash split + concat-then-chunk sequence packing
+        "train_val_split": T.train_val_split,
+        "concat_chunks": lambda sf: T.concat_chunks(sf, 512),
         # --- deduplication family
         "dedup_exact": T.exact_dedup,
         # composite curation: dedup winners ∩ quality thresholds ∩ lang filter
@@ -608,6 +611,43 @@ SELECT d.doc_id, d.sample_rate::BIGINT AS sample_rate, d.n::BIGINT AS n_samples,
 FROM d JOIN f USING (doc_id)
 """
 
+
+# deterministic split: same md5 integer rule as the term-hash oracle; the
+# train threshold literal is the Python float repr of 1.0 - val - test so
+# both sides compare the identical double
+_SPLIT_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST({_md5_63("'split:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+           / 9223372036854775808.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN u < 0.8999999999999999 THEN 'train'
+            WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+       round(u, 6) AS u
+FROM h
+"""
+
+# concat-then-chunk packing replay: window cumsum per source stream
+_CHUNKS_SQL = """
+WITH c AS (
+  SELECT doc_id, coalesce(source, '') AS source,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+'))::BIGINT AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+  FROM c
+)
+SELECT doc_id, source, n_tokens, tok_offset,
+       (tok_offset // 512)::BIGINT AS chunk_first,
+       (greatest(tok_offset, tok_offset + n_tokens - 1) // 512)::BIGINT AS chunk_last
+FROM w ORDER BY source, doc_id
+"""
+
 # distributed-IVF replay: seeds = n_cells smallest by (md5(vec_id), vec_id),
 # one Lloyd round (round-6 cosine argmax, smallest-cell tiebreak, empty cells
 # keep their seed), final round-6 argmax assignment — step-for-step the rule
@@ -775,6 +815,8 @@ p AS (
 )
 SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
 """,
+        "train_val_split": _SPLIT_SQL,
+        "concat_chunks": _CHUNKS_SQL,
         "mm_image_features": _MM_IMAGE_SQL,
         "mm_audio_features": _MM_AUDIO_SQL,
         "parse_entries_fallback": """

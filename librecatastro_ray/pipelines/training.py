@@ -317,6 +317,93 @@ def parse_entries_fallback(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def train_val_split(
+    sf_dir: str, val_frac: float = 0.05, test_frac: float = 0.05
+) -> ray.data.Dataset:
+    """Deterministic hash-based dataset split (the standard train/val/test
+    assignment a training pipeline needs): each doc's 63-bit md5 hash of
+    ``'split:<doc_id>'`` maps to a uniform u ∈ [0, 1); test takes the top
+    ``test_frac``, val the next ``val_frac``, train the rest.  Stateless and
+    embarrassingly parallel — membership is a pure function of doc_id, so
+    the split is stable under re-runs, resharding and corpus growth
+    (existing docs never migrate between splits).  Exact SQL replay via the
+    same md5 integer rule the term-hash oracle uses."""
+    from librecatastro_ray.functions.hashing import term_hash
+
+    lo = 1.0 - val_frac - test_frac
+    hi = 1.0 - test_frac
+    scale = float(1 << 63)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        u = np.fromiter(
+            (term_hash(f"split:{int(d)}") for d in ids),
+            dtype=np.int64, count=len(ids),
+        ) / scale
+        split = np.where(u < lo, "train", np.where(u < hi, "val", "test"))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "split": pa.array(split, pa.string()),
+            "u": pa.array(np.round(u, 6), pa.float64()),
+        })
+
+    return _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=8192
+    )
+
+
+def concat_chunks(sf_dir: str, chunk_tokens: int = 512) -> pa.Table:
+    """Concat-then-chunk sequence packing (the standard LLM pretraining
+    regime: documents of one stream are concatenated in doc_id order and
+    cut every ``chunk_tokens`` tokens).  Per doc: its token offset in the
+    stream and the first/last chunk it lands in (a doc can span chunks).
+
+    Distribution: one token-count pass (vectorized tokenizer), then the
+    prefix sum runs per ``source`` stream via groupby co-location — the
+    same per-key sessionization layout the as-of join documents; a corpus
+    whose single stream exceeds one task would use the standard two-round
+    distributed prefix sum (per-block partial sums + offset broadcast)
+    instead.  Exact SQL replay via a window cumsum."""
+
+    def counts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        low = pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), ""))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": pc.fill_null(t["source"].combine_chunks(), ""),
+            "n_tokens": pa.array(_re_count(low, _TOKEN_COUNT_RE), pa.int64()),
+        })
+
+    def per_stream(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", ignore_index=True)
+        n = g["n_tokens"].to_numpy()
+        off = np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "source": g["source"],
+            "n_tokens": n,
+            "tok_offset": off,
+            "chunk_first": off // chunk_tokens,
+            "chunk_last": np.maximum(off, off + n - 1) // chunk_tokens,
+        })
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(counts, batch_format="pyarrow", batch_size=4096)
+        .groupby("source")
+        .map_groups(per_stream, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["source", "doc_id"], ignore_index=True).astype(
+            {"n_tokens": "int64", "tok_offset": "int64",
+             "chunk_first": "int64", "chunk_last": "int64"}
+        ),
+        preserve_index=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------

@@ -566,3 +566,51 @@ def test_dedup_simhash_overcap_stats(tmp_path):
     pairs2, stats2 = dedup_simhash(str(sf), radius=3, return_stats=True)
     assert stats2 == {"overcap_buckets": 0, "dropped_pairs_bound": 0}
     assert pairs2.num_rows == n * (n - 1) // 2
+
+
+def test_train_val_split_stability(tmp_path):
+    """Hash-split membership is a pure function of doc_id: assignments are
+    stable under corpus growth (old docs never migrate), fractions are
+    roughly honored, and every doc gets exactly one split."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import train_val_split
+
+    sf_a, sf_b = tmp_path / "a", tmp_path / "b"
+    for d, n in ((sf_a, 300), (sf_b, 600)):  # b = a grown by 300 docs
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                      "text": pa.array(["x"] * n, pa.string())}),
+            str(d / "documents.parquet"),
+        )
+    a = train_val_split(str(sf_a)).to_pandas().set_index("doc_id")["split"]
+    b = train_val_split(str(sf_b)).to_pandas().set_index("doc_id")["split"]
+    assert (b.loc[a.index] == a).all()  # growth never migrates old docs
+    frac = (b == "train").mean()
+    assert 0.82 < frac < 0.97
+    assert set(b.unique()) <= {"train", "val", "test"}
+
+
+def test_concat_chunks_offsets(tmp_path):
+    """Chunk assignment = concatenate each source stream in doc_id order and
+    cut every N tokens; offsets are exact cumulative sums and docs can span
+    chunk boundaries."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import concat_chunks
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    texts = ["a b c", "d e", "f g h i", "solo"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2, 10], pa.int64()),
+                  "source": pa.array(["s1", "s1", "s1", "s2"], pa.string()),
+                  "text": pa.array(texts, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    got = {r["doc_id"]: r for r in concat_chunks(str(sf), chunk_tokens=4).to_pylist()}
+    assert (got[0]["tok_offset"], got[0]["chunk_first"], got[0]["chunk_last"]) == (0, 0, 0)
+    assert (got[1]["tok_offset"], got[1]["chunk_first"], got[1]["chunk_last"]) == (3, 0, 1)  # spans
+    assert (got[2]["tok_offset"], got[2]["chunk_first"], got[2]["chunk_last"]) == (5, 1, 2)
+    assert (got[10]["tok_offset"], got[10]["chunk_first"]) == (0, 0)  # own stream
