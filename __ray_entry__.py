@@ -377,6 +377,7 @@ def _lsh_pairs(sf_dir: str, threshold: float):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from librecatastro_ray.pipelines import multimodal as M
+    from librecatastro_ray.pipelines import parse as P
     from librecatastro_ray.pipelines import relational as R
     from librecatastro_ray.pipelines import training as T
 
@@ -419,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.doc_fingerprints,
         # B2/B3: 1→N parse + error guard + per-doc fallback recovery
         "parse_entries_fallback": T.parse_entries_fallback,
+        # REAL XML 1→N parse (ElementTree + ParseError fallback recovery)
+        "parse_xml_records": P.parse_xml_records,
         # deterministic hash split + concat-then-chunk sequence packing
         "train_val_split": T.train_val_split,
         "concat_chunks": lambda sf: T.concat_chunks(sf, 512),
@@ -611,6 +614,30 @@ SELECT d.doc_id, d.sample_rate::BIGINT AS sample_rate, d.n::BIGINT AS n_samples,
 FROM d JOIN f USING (doc_id)
 """
 
+
+
+# REAL-XML-parse replay: the payload synthesizer is an integer rule on
+# doc_id, so the parsed records (and the truncation/fallback/error branches)
+# replay exactly — good docs emit all n entries as 'xml', truncated docs
+# (doc_id % 37 == 0) emit their first n // 2 entries as 'fallback', and a
+# truncated single-entry doc emits one 'error' row
+_XML_RECORDS_SQL = """
+WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS n,
+                  (doc_id % 37 = 0) AS trunc
+           FROM documents),
+good AS (
+  SELECT doc_id,
+         'k' || CAST((doc_id*7 + j.j*13) % 20 AS VARCHAR) AS entry_key,
+         ((doc_id*31 + j.j*17) % 1000)::BIGINT AS entry_val,
+         CASE WHEN trunc THEN 'fallback' ELSE 'xml' END AS via
+  FROM d, unnest(range(0, CASE WHEN trunc THEN n // 2 ELSE n END)) j(j)
+),
+err AS (
+  SELECT doc_id, '' AS entry_key, 0::BIGINT AS entry_val, 'error' AS via
+  FROM d WHERE trunc AND n // 2 = 0
+)
+SELECT * FROM good UNION ALL SELECT * FROM err
+"""
 
 # deterministic split: same md5 integer rule as the term-hash oracle; the
 # train threshold literal is the Python float repr of 1.0 - val - test so
@@ -815,6 +842,7 @@ p AS (
 )
 SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
 """,
+        "parse_xml_records": _XML_RECORDS_SQL,
         "train_val_split": _SPLIT_SQL,
         "concat_chunks": _CHUNKS_SQL,
         "mm_image_features": _MM_IMAGE_SQL,

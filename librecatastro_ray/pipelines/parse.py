@@ -1,0 +1,111 @@
+"""REAL XML record parsing with error guard and fallback recovery (B2/B3).
+
+The reference's core loop is an XML parser over cadastral records — one XML
+payload expands to N ``CadasterEntry`` rows, an error code short-circuits
+(``parser_xml.py:208-209``), and a payload whose primary parse fails is
+recovered through an alternate path (``parser_xml.py:87-124``).  This module
+re-expresses that with a REAL parser: ``xml.etree.ElementTree`` (stdlib, no
+external deps) parses each payload inside an actor-pool ``map_batches``
+stage; malformed payloads genuinely raise ``ParseError`` and fall back to a
+tolerant regex recovery that extracts the complete elements a truncated
+document still carries.
+
+As with the multimodal decoders, the in-container stand-in for the blob
+source is a DETERMINISTIC doc_id-keyed synthesizer, which is what lets the
+DuckDB oracle replay the parsed output exactly (see
+``__ray_entry__._XML_RECORDS_SQL``):
+
+    n_entries = 1 + doc_id % 5
+    entry j:   key = 'k' || (doc_id*7 + j*13) % 20
+               val = (doc_id*31 + j*17) % 1000
+    doc_id % 37 == 0  →  the payload is TRUNCATED right after its first
+    n_entries // 2 entries (a dangling ``<e k=`` follows), so ElementTree
+    fails and the regex recovery yields exactly those entries; a truncated
+    single-entry doc recovers nothing → one ``via='error'`` row.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import xml.etree.ElementTree as ET
+
+import pyarrow as pa
+import ray
+import ray.data
+
+_RECOVER_RE = re.compile(r'<e k="([^"]+)" v="([0-9]+)"/>')
+
+
+def synth_xml(doc_id: int) -> bytes:
+    """Deterministic XML payload for one doc (truncated when doc_id % 37 == 0)."""
+    n = 1 + doc_id % 5
+    entries = [
+        f'<e k="k{(doc_id * 7 + j * 13) % 20}" v="{(doc_id * 31 + j * 17) % 1000}"/>'
+        for j in range(n)
+    ]
+    if doc_id % 37 == 0:
+        # keep the first n // 2 complete entries, then a dangling open tag —
+        # a REAL malformed document ElementTree rejects
+        body = "".join(entries[: n // 2]) + "<e k="
+        return f'<doc id="{doc_id}">{body}'.encode()
+    return f'<doc id="{doc_id}">{"".join(entries)}</doc>'.encode()
+
+
+def xml_payloads(sf_dir: str) -> ray.data.Dataset:
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    def batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "xml": pa.array([synth_xml(int(d)) for d in ids], pa.binary()),
+        })
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(batch, batch_format="pyarrow", batch_size=1024)
+
+
+class XmlRecordParser:
+    """Actor-pool 1→N parse stage: ElementTree per payload (the REAL parse),
+    ``ParseError`` → regex recovery of complete elements, nothing recovered
+    → one error row.  Per-payload loop is the accepted decode pattern
+    (variable-length binary; the work inside is C-backed expat / re2)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_key, out_val, out_via = [], [], [], []
+        for did, buf in zip(batch["doc_id"].to_numpy(), batch["xml"]):
+            raw = buf.as_py()
+            try:
+                root = ET.fromstring(raw)
+                for e in root.iter("e"):
+                    out_id.append(int(did))
+                    out_key.append(e.attrib["k"])
+                    out_val.append(int(e.attrib["v"]))
+                    out_via.append("xml")
+            except ET.ParseError:
+                hits = _RECOVER_RE.findall(raw.decode("utf-8", "replace"))
+                if hits:
+                    for k, v in hits:
+                        out_id.append(int(did))
+                        out_key.append(k)
+                        out_val.append(int(v))
+                        out_via.append("fallback")
+                else:
+                    out_id.append(int(did))
+                    out_key.append("")
+                    out_val.append(0)
+                    out_via.append("error")
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "entry_key": pa.array(out_key, pa.string()),
+            "entry_val": pa.array(out_val, pa.int64()),
+            "via": pa.array(out_via, pa.string()),
+        })
+
+
+def parse_xml_records(sf_dir: str) -> ray.data.Dataset:
+    return xml_payloads(sf_dir).map_batches(
+        XmlRecordParser, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
