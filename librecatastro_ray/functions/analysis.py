@@ -35,6 +35,7 @@ it is computed with the BUILD-time scorer, which is why the id is pinned.
 
 from __future__ import annotations
 
+import re
 from typing import Protocol, runtime_checkable
 
 import numpy as np
@@ -70,7 +71,7 @@ def _scalar_via_batch(tokenize_batch, s: str | None, ascii_fast=None) -> list[st
 
     ``ascii_fast``: optional pure-Python tokenizer used when ``s`` is ASCII —
     the two case mappings are identical there, and the Arrow kernel's
-    per-call overhead (~0.6 ms) is ~15%% of a whole match query."""
+    per-call overhead (~0.6 ms) is ~15% of a whole match query."""
     if s is None:
         return []
     if ascii_fast is not None and s.isascii():
@@ -98,6 +99,7 @@ class CodeAnalyzer:
 
 
 _WS_CLASS = "[ \\t\\n\\r\\f\\v]+"  # explicit ASCII class: identical in re + RE2
+_WS_RE = re.compile(_WS_CLASS)
 
 
 class WhitespaceAnalyzer:
@@ -113,9 +115,7 @@ class WhitespaceAnalyzer:
 
     @staticmethod
     def _ascii_tokenize(s: str) -> list[str]:
-        import re
-
-        return [t for t in re.split(_WS_CLASS, s.lower()) if t]
+        return [t for t in _WS_RE.split(s.lower()) if t]
 
     def tokenize_batch(self, arr):
         return tokenizer.tokenize_batch_pattern(arr, _WS_CLASS)

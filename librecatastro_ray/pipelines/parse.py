@@ -79,7 +79,15 @@ class XmlRecordParser:
             raw = buf.as_py()
             try:
                 root = ET.fromstring(raw)
-                for e in root.iter("e"):
+                entries = list(root.iter("e"))
+                if not entries:
+                    # a WELL-FORMED payload with zero records still emits a
+                    # row — no document ever silently vanishes
+                    out_id.append(int(did))
+                    out_key.append("")
+                    out_val.append(0)
+                    out_via.append("empty")
+                for e in entries:
                     out_id.append(int(did))
                     out_key.append(e.attrib["k"])
                     out_val.append(int(e.attrib["v"]))

@@ -327,17 +327,22 @@ def train_val_split(
     embarrassingly parallel — membership is a pure function of doc_id, so
     the split is stable under re-runs, resharding and corpus growth
     (existing docs never migrate between splits).  Exact SQL replay via the
-    same md5 integer rule the term-hash oracle uses."""
-    from librecatastro_ray.functions.hashing import term_hash
-
+    same md5 integer rule the term-hash oracle uses (computed directly —
+    split keys are one-shot, so going through the term-hash LRU would fill
+    it with never-reused entries and evict real term caching)."""
     lo = 1.0 - val_frac - test_frac
     hi = 1.0 - test_frac
     scale = float(1 << 63)
 
+    def md5_63(key: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(key.encode()).digest()[:8], "little"
+        ) & 0x7FFFFFFFFFFFFFFF
+
     def assign(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
         u = np.fromiter(
-            (term_hash(f"split:{int(d)}") for d in ids),
+            (md5_63(f"split:{int(d)}") for d in ids),
             dtype=np.int64, count=len(ids),
         ) / scale
         split = np.where(u < lo, "train", np.where(u < hi, "val", "test"))

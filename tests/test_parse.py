@@ -51,3 +51,10 @@ def test_pipeline_branch_counts(ray_session):
     assert vias.get("error", 0) >= 1  # doc 0 and the 37k/5-aligned ids
     # every doc appears
     assert df["doc_id"].nunique() == 500
+
+
+def test_empty_but_valid_payload_emits_row():
+    t = pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "xml": pa.array([b'<doc id="9"></doc>'], pa.binary())})
+    rows = XmlRecordParser()(t).to_pylist()
+    assert rows == [{"doc_id": 9, "entry_key": "", "entry_val": 0, "via": "empty"}]
