@@ -363,12 +363,17 @@ def concat_chunks(sf_dir: str, chunk_tokens: int = 512) -> pa.Table:
     cut every ``chunk_tokens`` tokens).  Per doc: its token offset in the
     stream and the first/last chunk it lands in (a doc can span chunks).
 
-    Distribution: one token-count pass (vectorized tokenizer), then the
-    prefix sum runs per ``source`` stream via groupby co-location — the
-    same per-key sessionization layout the as-of join documents; a corpus
-    whose single stream exceeds one task would use the standard two-round
-    distributed prefix sum (per-block partial sums + offset broadcast)
-    instead.  Exact SQL replay via a window cumsum."""
+    Distribution — the textbook TWO-ROUND DISTRIBUTED PREFIX SUM, so no
+    single task ever holds a whole stream (a 100 TB corpus can have one
+    multi-TB source): one token-count pass (vectorized tokenizer, 24 B/row
+    key rows out) → key-only distributed sort by (source, doc_id) → round
+    1 computes each sorted block's per-source token totals (tiny tables) →
+    the driver folds them into per-(block, source) base offsets — O(blocks
+    + sources) rows, never corpus-scale — → round 2 assigns chunks inside
+    each block from its broadcast base offsets (vectorized segmented
+    cumsum).  Raw Ray tasks carry rounds 1–2 because the Dataset API has
+    no order-aware per-block index; the partitioning assumption is only
+    that the SORT is correct.  Exact SQL replay via a window cumsum."""
 
     def counts(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -380,33 +385,81 @@ def concat_chunks(sf_dir: str, chunk_tokens: int = 512) -> pa.Table:
             "n_tokens": pa.array(_re_count(low, _TOKEN_COUNT_RE), pa.int64()),
         })
 
-    def per_stream(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", ignore_index=True)
-        n = g["n_tokens"].to_numpy()
-        off = np.concatenate([[0], np.cumsum(n)[:-1]])
-        return pd.DataFrame({
-            "doc_id": g["doc_id"],
-            "source": g["source"],
-            "n_tokens": n,
-            "tok_offset": off,
-            "chunk_first": off // chunk_tokens,
-            "chunk_last": np.maximum(off, off + n - 1) // chunk_tokens,
-        })
-
-    out = (
+    sorted_ds = (
         _docs_ds(sf_dir, ["doc_id", "source", "text"])
         .map_batches(counts, batch_format="pyarrow", batch_size=4096)
-        .groupby("source")
-        .map_groups(per_stream, batch_format="pandas")
-        .to_pandas()
+        .sort(["source", "doc_id"])  # key-only rows enter the sort
     )
-    return pa.Table.from_pandas(
-        out.sort_values(["source", "doc_id"], ignore_index=True).astype(
-            {"n_tokens": "int64", "tok_offset": "int64",
-             "chunk_first": "int64", "chunk_last": "int64"}
-        ),
-        preserve_index=False,
-    )
+    block_refs = list(sorted_ds.to_arrow_refs())  # globally ordered blocks
+
+    @ray.remote
+    def block_sums(t: pa.Table) -> pa.Table:
+        # per-source token totals of one sorted block (sources are runs)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy()
+        if len(src) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "total": pa.array([], pa.int64())})
+        change = np.ones(len(src), dtype=bool)
+        change[1:] = src[1:] != src[:-1]
+        starts = np.nonzero(change)[0]
+        return pa.table({
+            "source": pa.array(src[starts], pa.string()),
+            "total": pa.array(np.add.reduceat(n, starts), pa.int64()),
+        })
+
+    summaries = ray.get([block_sums.remote(r) for r in block_refs])
+    # driver fold: exclusive per-source running totals → each block's base
+    # offset per source (O(blocks + sources) work and memory)
+    bases: list[dict[str, int]] = []
+    running: dict[str, int] = {}
+    for summ in summaries:
+        blk = {}
+        for s_, tot in zip(summ["source"].to_pylist(), summ["total"].to_pylist()):
+            blk[s_] = running.get(s_, 0)
+            running[s_] = running.get(s_, 0) + int(tot)
+        bases.append(blk)
+
+    @ray.remote
+    def assign(t: pa.Table, base: dict) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy()
+        if len(src) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()), "tok_offset": pa.array([], pa.int64()),
+                "chunk_first": pa.array([], pa.int64()), "chunk_last": pa.array([], pa.int64()),
+            })
+        # segmented exclusive cumsum within the block + per-source base
+        change = np.ones(len(src), dtype=bool)
+        change[1:] = src[1:] != src[:-1]
+        run_starts = np.nonzero(change)[0]
+        cum = np.concatenate([[0], np.cumsum(n)[:-1]])
+        seg_base = np.repeat(cum[run_starts], np.diff(np.append(run_starts, len(src))))
+        base_arr = np.fromiter((base[s_] for s_ in src[run_starts]),
+                               dtype=np.int64, count=len(run_starts))
+        off = cum - seg_base + np.repeat(base_arr, np.diff(np.append(run_starts, len(src))))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "n_tokens": pa.array(n, pa.int64()),
+            "tok_offset": pa.array(off, pa.int64()),
+            "chunk_first": pa.array(off // chunk_tokens, pa.int64()),
+            "chunk_last": pa.array(np.maximum(off, off + n - 1) // chunk_tokens, pa.int64()),
+        })
+
+    parts = ray.get([assign.remote(r, b) for r, b in zip(block_refs, bases)])
+    out = pa.concat_tables([p for p in parts if p.num_rows])
+    if out.num_rows == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()), "tok_offset": pa.array([], pa.int64()),
+            "chunk_first": pa.array([], pa.int64()), "chunk_last": pa.array([], pa.int64()),
+        })
+    # (already globally sorted by the distributed sort; returned as one
+    # table because the gate consumes it — the at-scale tail is
+    # ray.data.from_arrow_refs(...).write_parquet)
+    return out.combine_chunks()
 
 
 # ---------------------------------------------------------------------------

@@ -614,3 +614,43 @@ def test_concat_chunks_offsets(tmp_path):
     assert (got[1]["tok_offset"], got[1]["chunk_first"], got[1]["chunk_last"]) == (3, 0, 1)  # spans
     assert (got[2]["tok_offset"], got[2]["chunk_first"], got[2]["chunk_last"]) == (5, 1, 2)
     assert (got[10]["tok_offset"], got[10]["chunk_first"]) == (0, 0)  # own stream
+
+
+def test_concat_chunks_multiblock_prefix_sum(tmp_path):
+    """The two-round distributed prefix sum must stay exact when one source
+    stream SPANS multiple sorted blocks (tiny target block size forces the
+    cross-block offset fold to actually run)."""
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import concat_chunks
+
+    n = 3000
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # one giant source + a second small one; token counts vary per doc
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(["big"] * (n - 100) + ["small"] * 100, pa.string()),
+            "text": pa.array([" ".join(["tok"] * (1 + i % 7)) for i in range(n)],
+                             pa.string()),
+        }),
+        str(sf / "documents.parquet"),
+    )
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024  # ~8 KB blocks → many blocks
+    try:
+        got = concat_chunks(str(sf), chunk_tokens=64).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    got = got.sort_values(["source", "doc_id"], ignore_index=True)
+    # naive single-process ground truth
+    exp_off = {}
+    run = {}
+    for i in range(n):
+        s = "big" if i < n - 100 else "small"
+        exp_off[i] = run.get(s, 0)
+        run[s] = run.get(s, 0) + 1 + i % 7
+    assert (got.set_index("doc_id")["tok_offset"].to_dict() == exp_off)
