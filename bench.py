@@ -218,6 +218,33 @@ def run_bench() -> dict:
     }
 
 
+def matmul_control(lo: int, hi: int) -> float:
+    """No-shared-state lo-vs-hi-process scaling of in-cache matmuls: what the
+    time-shared host actually delivers right now.  Reported alongside the
+    engine pair so a depressed engine reading can be attributed (or not) to
+    host contention — see BASELINE.md's paired-window protocol."""
+    code = ("import numpy as np, time; a=np.random.rand(200,200); "
+            "[a@a for _ in range(3000)]")
+
+    def one(n: int) -> float:
+        t0 = time.monotonic()
+        ps = [
+            subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=subprocess.DEVNULL,
+                env=dict(os.environ, OMP_NUM_THREADS="1"),
+            )
+            for _ in range(n)
+        ]
+        for p_ in ps:
+            p_.wait()
+        return time.monotonic() - t0
+
+    best_lo = min(one(lo) for _ in range(3))
+    best_hi = min(one(hi) for _ in range(3))
+    return round(((hi / best_hi) / (lo / best_lo)) / (hi / lo), 3)
+
+
 def run_scaling() -> dict:
     # scaling pair runs a larger amplification so the 8-CPU side is
     # compute-bound: efficiency measured on a corpus small enough to finish
@@ -265,6 +292,8 @@ def run_scaling() -> dict:
         "qps_lo": r_lo["qps"],
         "qps_hi": r_hi["qps"],
         "scaling_efficiency": round(eff, 3),
+        # contemporaneous no-shared-state control: the host's own ceiling
+        "control_efficiency": matmul_control(lo, hi),
     }
 
 
