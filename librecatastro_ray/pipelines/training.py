@@ -357,7 +357,7 @@ def train_val_split(
     )
 
 
-def concat_chunks(sf_dir: str, chunk_tokens: int = 512) -> pa.Table:
+def concat_chunks(sf_dir: str, chunk_tokens: int = 512) -> ray.data.Dataset:
     """Concat-then-chunk sequence packing (the standard LLM pretraining
     regime: documents of one stream are concatenated in doc_id order and
     cut every ``chunk_tokens`` tokens).  Per doc: its token offset in the
@@ -448,18 +448,12 @@ def concat_chunks(sf_dir: str, chunk_tokens: int = 512) -> pa.Table:
             "chunk_last": pa.array(np.maximum(off, off + n - 1) // chunk_tokens, pa.int64()),
         })
 
-    parts = ray.get([assign.remote(r, b) for r, b in zip(block_refs, bases)])
-    out = pa.concat_tables([p for p in parts if p.num_rows])
-    if out.num_rows == 0:
-        return pa.table({
-            "doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string()),
-            "n_tokens": pa.array([], pa.int64()), "tok_offset": pa.array([], pa.int64()),
-            "chunk_first": pa.array([], pa.int64()), "chunk_last": pa.array([], pa.int64()),
-        })
-    # (already globally sorted by the distributed sort; returned as one
-    # table because the gate consumes it — the at-scale tail is
-    # ray.data.from_arrow_refs(...).write_parquet)
-    return out.combine_chunks()
+    # STREAMING result: the assigned blocks stay in the (spillable) object
+    # store — nothing corpus-scale ever lands on the driver; the at-scale
+    # tail is .write_parquet, small consumers .to_pandas()
+    return ray.data.from_arrow_refs(
+        [assign.remote(r, b) for r, b in zip(block_refs, bases)]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -609,7 +609,7 @@ def test_concat_chunks_offsets(tmp_path):
                   "text": pa.array(texts, pa.string())}),
         str(sf / "documents.parquet"),
     )
-    got = {r["doc_id"]: r for r in concat_chunks(str(sf), chunk_tokens=4).to_pylist()}
+    got = {r["doc_id"]: r for r in concat_chunks(str(sf), chunk_tokens=4).to_pandas().to_dict("records")}
     assert (got[0]["tok_offset"], got[0]["chunk_first"], got[0]["chunk_last"]) == (0, 0, 0)
     assert (got[1]["tok_offset"], got[1]["chunk_first"], got[1]["chunk_last"]) == (3, 0, 1)  # spans
     assert (got[2]["tok_offset"], got[2]["chunk_first"], got[2]["chunk_last"]) == (5, 1, 2)
