@@ -392,14 +392,24 @@ def concat_chunks(sf_dir: str, chunk_tokens: int = 512) -> ray.data.Dataset:
     )
     block_refs = list(sorted_ds.to_arrow_refs())  # globally ordered blocks
 
+    _EMPTY_OUT = pa.table({
+        "doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string()),
+        "n_tokens": pa.array([], pa.int64()), "tok_offset": pa.array([], pa.int64()),
+        "chunk_first": pa.array([], pa.int64()), "chunk_last": pa.array([], pa.int64()),
+    })
+    if not block_refs:
+        return ray.data.from_arrow(_EMPTY_OUT)
+
     @ray.remote
     def block_sums(t: pa.Table) -> pa.Table:
+        # guard BEFORE touching columns: an all-empty sorted dataset emits
+        # SCHEMALESS empty blocks (Ray Data 2.49 pitfall)
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "total": pa.array([], pa.int64())})
         # per-source token totals of one sorted block (sources are runs)
         src = t["source"].to_numpy(zero_copy_only=False)
         n = t["n_tokens"].to_numpy()
-        if len(src) == 0:
-            return pa.table({"source": pa.array([], pa.string()),
-                             "total": pa.array([], pa.int64())})
         change = np.ones(len(src), dtype=bool)
         change[1:] = src[1:] != src[:-1]
         starts = np.nonzero(change)[0]
@@ -422,14 +432,10 @@ def concat_chunks(sf_dir: str, chunk_tokens: int = 512) -> ray.data.Dataset:
 
     @ray.remote
     def assign(t: pa.Table, base: dict) -> pa.Table:
+        if t.num_rows == 0:  # schemaless-empty-block guard, as in block_sums
+            return _EMPTY_OUT
         src = t["source"].to_numpy(zero_copy_only=False)
         n = t["n_tokens"].to_numpy()
-        if len(src) == 0:
-            return pa.table({
-                "doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string()),
-                "n_tokens": pa.array([], pa.int64()), "tok_offset": pa.array([], pa.int64()),
-                "chunk_first": pa.array([], pa.int64()), "chunk_last": pa.array([], pa.int64()),
-            })
         # segmented exclusive cumsum within the block + per-source base
         change = np.ones(len(src), dtype=bool)
         change[1:] = src[1:] != src[:-1]

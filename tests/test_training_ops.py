@@ -654,3 +654,22 @@ def test_concat_chunks_multiblock_prefix_sum(tmp_path):
         exp_off[i] = run.get(s, 0)
         run[s] = run.get(s, 0) + 1 + i % 7
     assert (got.set_index("doc_id")["tok_offset"].to_dict() == exp_off)
+
+
+def test_concat_chunks_empty_corpus(tmp_path):
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import concat_chunks
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "source": pa.array([], pa.string()),
+                  "text": pa.array([], pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    df = concat_chunks(str(sf)).to_pandas()
+    assert len(df) == 0
+    assert set(df.columns) >= {"doc_id", "source", "n_tokens", "tok_offset",
+                               "chunk_first", "chunk_last"} or df.empty
