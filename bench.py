@@ -252,7 +252,10 @@ def run_scaling() -> dict:
     amplify = os.environ.get("LCRAY_SCALING_AMPLIFY", "120")
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LCRAY_BENCH_AMPLIFY=amplify)
+        # one trial per subprocess: run_scaling does its own interleaved
+        # best-of-trials across the lo/hi pair
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LCRAY_BENCH_AMPLIFY=amplify,
+                   LCRAY_BENCH_TRIALS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -297,8 +300,19 @@ def run_scaling() -> dict:
     }
 
 
+def run_bench_best() -> dict:
+    """Best of LCRAY_BENCH_TRIALS (default 2) interleaved trials — the
+    sandbox host is time-shared and a single reading can land in an
+    interference window (BASELINE.md documents swings of 24%+ at fixed
+    code); every trial's total is reported so the spread is visible."""
+    trials = [run_bench() for _ in range(int(os.environ.get("LCRAY_BENCH_TRIALS", "2")))]
+    best = min(trials, key=lambda r: r["value"])
+    best["trials_sec"] = [r["value"] for r in trials]
+    return best
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench_best()))
