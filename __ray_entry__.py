@@ -455,6 +455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # replay like the IVF entries)
         "mm_image_features": M.image_features,
         "mm_audio_features": M.audio_features,
+        # frame-sample over REAL decoded PCM (32-sample windows)
+        "mm_audio_frames": lambda sf: M.audio_frames(sf, 32),
         # --- nested data model (address struct + constructions list<struct>,
         # the reference's document shape, elasticsearch_utils.py:38-56)
         "nested_unnest": R.nested_unnest,
@@ -615,6 +617,27 @@ FROM d JOIN f USING (doc_id)
 """
 
 
+
+
+# frame-sample replay: per-frame integer energies via grouping i // 32;
+# peak_frame = FIRST argmax (min frame id among max-energy frames)
+_MM_FRAMES_SQL = """
+WITH d AS (SELECT doc_id, 50 + doc_id % 200 AS n FROM documents),
+s AS (
+  SELECT doc_id, i.i // 32 AS frame,
+         ((doc_id*7919 + i.i*12347) % 65536 - 32768) AS v
+  FROM d, unnest(range(0, n)) i(i)
+),
+f AS (SELECT doc_id, frame, sum(v*v)::BIGINT AS e FROM s GROUP BY doc_id, frame),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_frames, max(e)::BIGINT AS max_frame_energy
+  FROM f GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_frames, a.max_frame_energy,
+       (SELECT min(frame) FROM f WHERE f.doc_id = a.doc_id
+        AND f.e = a.max_frame_energy)::BIGINT AS peak_frame
+FROM agg a
+"""
 
 # REAL-XML-parse replay: the payload synthesizer is an integer rule on
 # doc_id, so the parsed records (and the truncation/fallback/error branches)
@@ -847,6 +870,7 @@ SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
         "concat_chunks": _CHUNKS_SQL,
         "mm_image_features": _MM_IMAGE_SQL,
         "mm_audio_features": _MM_AUDIO_SQL,
+        "mm_audio_frames": _MM_FRAMES_SQL,
         "parse_entries_fallback": """
 WITH d AS (
   SELECT doc_id, coalesce(text, '') AS t, coalesce(lang, '') AS lang,

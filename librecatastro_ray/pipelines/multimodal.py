@@ -223,3 +223,43 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
     return multimodal_payloads(sf_dir).map_batches(
         AudioFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )
+
+
+class AudioFrameSampler:
+    """Actor-pool frame-sample stage over REAL decoded audio (the video
+    frame-sample analogue with an actual decoder): the PCM stream is cut
+    into fixed ``frame_len``-sample windows (last partial window kept) and
+    each frame's integer energy is reduced to count / max / argmax —
+    integer-exact for the SQL replay."""
+
+    def __init__(self, frame_len: int = 32):
+        self.frame_len = int(frame_len)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("n_frames", "max_frame_energy", "peak_frame")}
+        for buf in batch["audio_wav"]:
+            _rate, s = decode_wav(buf.as_py())
+            v = (s.astype(np.int64)) ** 2
+            n = len(v)
+            if n == 0:
+                out["n_frames"].append(0)
+                out["max_frame_energy"].append(0)
+                out["peak_frame"].append(-1)
+                continue
+            n_frames = -(-n // self.frame_len)
+            pad = n_frames * self.frame_len - n
+            e = np.concatenate([v, np.zeros(pad, np.int64)]).reshape(n_frames, -1).sum(axis=1)
+            out["n_frames"].append(n_frames)
+            out["max_frame_energy"].append(int(e.max()))
+            out["peak_frame"].append(int(e.argmax()))  # first max wins
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             **{k: pa.array(val, pa.int64()) for k, val in out.items()}}
+        )
+
+
+def audio_frames(sf_dir: str, frame_len: int = 32) -> ray.data.Dataset:
+    return multimodal_payloads(sf_dir).map_batches(
+        AudioFrameSampler, fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )

@@ -114,3 +114,26 @@ def test_multimodal_pipeline_end_to_end(ray_session):
     assert len(imf) == len(auf) == 500
     assert (imf["width"] == 4 + imf["doc_id"] % 13).all()
     assert (auf["sample_rate"] == 8000 + (auf["doc_id"] % 3) * 4000).all()
+
+
+def test_audio_frame_sampler_known_values():
+    """Frame energies over real decoded PCM: hand-built 5-sample signal with
+    frame_len=2 → frames [a²+b², c²+d², e²] and first-max tie-breaking."""
+    from librecatastro_ray.pipelines.multimodal import AudioFrameSampler, encode_wav
+
+    s = np.array([3, -4, 5, 0, -5], np.int16)  # frames: 25, 25, 25 → peak 0
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "audio_wav": pa.array([encode_wav(8000, s)], pa.binary())})
+    r = AudioFrameSampler(frame_len=2)(t).to_pylist()[0]
+    assert r == {"doc_id": 1, "n_frames": 3, "max_frame_energy": 25, "peak_frame": 0}
+    s2 = np.array([1, 0, 3, 4], np.int16)  # frames: 1, 25 → peak 1
+    t2 = pa.table({"doc_id": pa.array([2], pa.int64()),
+                   "audio_wav": pa.array([encode_wav(8000, s2)], pa.binary())})
+    r2 = AudioFrameSampler(frame_len=2)(t2).to_pylist()[0]
+    assert (r2["n_frames"], r2["max_frame_energy"], r2["peak_frame"]) == (2, 25, 1)
+    # empty payload
+    t3 = pa.table({"doc_id": pa.array([3], pa.int64()),
+                   "audio_wav": pa.array([encode_wav(8000, np.array([], np.int16))],
+                                         pa.binary())})
+    r3 = AudioFrameSampler(frame_len=2)(t3).to_pylist()[0]
+    assert (r3["n_frames"], r3["peak_frame"]) == (0, -1)
