@@ -1007,6 +1007,14 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
 """,
+        # IVF-family boundary assumption (documented, per round-3 advice):
+        # the oracle's Lloyd round reduces with SQL avg() while the engine
+        # sums per-batch partials and divides on the driver — float summation
+        # ORDER differs, so "bit-compatible" holds only while no
+        # round(cos, 6) value sits within FP error of a 0.5e-6 rounding
+        # boundary (a different corpus / batch size could flip an argmax).
+        # If this gate ever flakes on another corpus, pin both sides to a
+        # common reduction order (e.g. sort-by-vec_id pairwise sums).
         "dedup_embedding_ivf": f"""
 WITH {_IVF_CELLS_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -173,7 +173,9 @@ class TfIdfScorer:
         return np.log(1.0 + n_docs / (np.asarray(df, dtype=np.float64) + 1.0))
 
     def tf_norm(self, tf, dl, avgdl):
-        return 1.0 + np.log(np.asarray(tf, dtype=np.float64))
+        # postings guarantee tf >= 1, but the Scorer protocol doesn't state
+        # that precondition — clamp so a zero tf can't emit -inf / warnings
+        return 1.0 + np.log(np.maximum(np.asarray(tf, dtype=np.float64), 1.0))
 
 
 _ANALYZERS: dict[str, Analyzer] = {

@@ -479,13 +479,11 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
         # Arrow out: keeps the downstream groupby's schemas hashable (a
         # pandas return attaches dict-valued metadata that defeats Ray's
         # shuffle schema dedup — see MinHasher.__call__)
+        from librecatastro_ray.functions.hashing import sha256_batch
+
         return pa.table({
             "doc_id": batch["doc_id"],
-            "sha256": pa.array(
-                [hashlib.sha256((s or "").encode()).hexdigest()
-                 for s in batch["text"].to_pylist()],
-                pa.string(),
-            ),
+            "sha256": sha256_batch(batch["text"]),
         })
 
     ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
@@ -742,14 +740,16 @@ def _shuffle_width(
     row_count: int, rows_per_partition: int, num_partitions: int | None = None
 ) -> int:
     """Scale-aware hash-shuffle width, shared by every dedup/curation join:
-    the caller's explicit override, else a CPU clamp (the join's aggregator
-    actor pool starves when partitions outnumber what the cluster can host),
-    narrowed proportionally to the input rows so tiny corpora don't fan out
-    into mostly-empty partitions (whose schema-less bundles trip the
-    executor's schema-drift warning).  A 100 TB corpus keeps the CPU clamp."""
-    if num_partitions is None:
-        num_partitions = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
-    return max(2, min(num_partitions, row_count // rows_per_partition + 1))
+    the caller's explicit override RETURNED UNCHANGED, else a CPU clamp (the
+    join's aggregator actor pool starves when partitions outnumber what the
+    cluster can host) narrowed proportionally to the input rows so tiny
+    corpora don't fan out into mostly-empty partitions (whose schema-less
+    bundles trip the executor's schema-drift warning).  A 100 TB corpus
+    keeps the CPU clamp."""
+    if num_partitions is not None:
+        return max(2, num_partitions)
+    width = max(2, min(64, int(ray.cluster_resources().get("CPU", 4))))
+    return max(2, min(width, row_count // rows_per_partition + 1))
 
 
 def _pairs_in_bucket(g: pd.DataFrame, carry: tuple[str, ...] = (),
@@ -761,10 +761,13 @@ def _pairs_in_bucket(g: pd.DataFrame, carry: tuple[str, ...] = (),
     a_idx, b_idx = np.triu_indices(len(ids), k=1)
     cols = {"doc_a": pa.array(ids[a_idx], pa.int64()),
             "doc_b": pa.array(ids[b_idx], pa.int64())}
+    # carry columns grouped all-_a-then-all-_b, matching the self-join branch
+    # of _bucketed_pair_candidates (a union of the two with ≥2 carry columns
+    # would otherwise hit a column-order mismatch)
     for c in carry:
-        v = docs[c].to_numpy()
-        cols[f"{c}_a"] = pa.array(v[a_idx], pa.int64())
-        cols[f"{c}_b"] = pa.array(v[b_idx], pa.int64())
+        cols[f"{c}_a"] = pa.array(docs[c].to_numpy()[a_idx], pa.int64())
+    for c in carry:
+        cols[f"{c}_b"] = pa.array(docs[c].to_numpy()[b_idx], pa.int64())
     return pa.table(cols)
 
 
@@ -1112,8 +1115,16 @@ def _simhash_bands(t: pa.Table, radius: int) -> pa.Table:
     doc = t["doc_id"].to_numpy()
     n_bands = radius + 1
     bounds = np.linspace(0, 64, n_bands + 1).astype(np.uint64)
+
+    def band_mask(width: np.uint64) -> np.uint64:
+        # width == 64 (radius=0: one band = the whole signature) would be an
+        # undefined uint64 shift-by-64 — special-case to the full mask
+        if int(width) >= 64:
+            return np.uint64(0xFFFFFFFFFFFFFFFF)
+        return (np.uint64(1) << width) - np.uint64(1)
+
     buckets = np.concatenate([
-        ((sim >> bounds[b]) & ((np.uint64(1) << (bounds[b + 1] - bounds[b])) - np.uint64(1))).astype(np.int64)
+        ((sim >> bounds[b]) & band_mask(bounds[b + 1] - bounds[b])).astype(np.int64)
         for b in range(n_bands)
     ]) if len(sim) else np.zeros(0, dtype=np.int64)
     return pa.table({
@@ -1159,6 +1170,10 @@ def dedup_simhash(
     Reference analogue: the G1/G2 dedup family (SURVEY §2) —
     elasticsearch_utils.py:100-136's exact-id dedup generalized to
     near-identity."""
+    if not 0 <= radius <= 63:
+        # radius+1 bands over 64 bits: radius 0 (exact signature equality,
+        # one full-width band) through 63 (every band is a single bit)
+        raise ValueError(f"radius must be in [0, 63], got {radius}")
     sigs = simhash_signatures(sf_dir).materialize()  # 16 B/row
     num_partitions = _shuffle_width(sigs.count(), 4096, num_partitions)
     bands = sigs.map_batches(
@@ -1886,11 +1901,12 @@ def curate_corpus(
         counts = np.stack([_re_count(low, _alt(LANG_MARKERS[g])) for g in langs], axis=1)
         best = np.array(langs, dtype=object)[np.argmax(counts, axis=1)]
         best[counts.max(axis=1) == 0] = "und"
-        sha = [hashlib.sha256((s or "").encode()).hexdigest() for s in text_raw.to_pylist()]
+        from librecatastro_ray.functions.hashing import sha256_batch
+
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "sha256": pa.array(sha, pa.string()),
+                "sha256": sha256_batch(text_raw),
                 "n_tokens": pa.array(n_tokens, pa.int64()),
                 "stop_ratio": pa.array(stop_ratio, pa.float64()),
                 "punct_ratio": pa.array(punct_ratio, pa.float64()),

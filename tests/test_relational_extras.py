@@ -143,6 +143,57 @@ def test_prefix_content_offset(built_index):
     ]
 
 
+def test_asof_many_users_bucketed_matches_oracle(tmp_path):
+    """≥10⁴ distinct user_ids: the bucket-vectorized as-of join must (a)
+    match the exact SQL oracle and (b) bound the shuffle's group count at
+    n_buckets — never one group per user (the per-group-overhead cliff)."""
+    import duckdb
+
+    rng = np.random.RandomState(7)
+    n, n_users, n_buckets = 60_000, 20_000, 32
+    user = rng.randint(0, n_users, n).astype(np.int64)
+    ts_us = rng.randint(1, 10**7, n).astype(np.int64) * 1_000_000
+    kinds = np.array(["view", "click", "error"], dtype=object)[
+        rng.randint(0, 3, n)
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(kinds, pa.string()),
+            "value": pa.array(np.ones(n), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from librecatastro_ray.pipelines.relational import asof_join_events
+
+    got = (
+        asof_join_events(str(tmp_path), n_buckets=n_buckets)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    # the equality key cardinality the shuffle actually sees is the bucket
+    assert len(np.unique(user % n_buckets)) <= n_buckets
+    assert len(np.unique(user)) > 10_000  # genuinely many-key input
+    assert got["user_id"].nunique() > 1_000  # and a many-key output
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = (
+        con.sql(entrymod.oracle_sql()["asof_join_events"])
+        .df()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert len(got) == len(exp) > 0
+    for c in ("event_id", "user_id", "view_event_id", "gap_us"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
 def test_asof_no_clicks_returns_typed_empty(tmp_path):
     t = pa.table(
         {
