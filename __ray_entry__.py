@@ -184,6 +184,14 @@ SELECT rank, doc_id, score FROM (
 """
 
 
+def _suite_sql(cases: list[tuple[str, str]]) -> str:
+    """UNION ALL of per-case oracle SQL, each tagged with its ``q`` case
+    label — the twin of the case-tagged suite entries in queries()."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS q, * FROM ({sql})" for name, sql in cases
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -247,18 +255,6 @@ def _q_match_wand(sf_dir: str, text: str, k: int) -> pa.Table:
     return _rounded_rank(_engine(sf_dir).match_wand(text, k=10**9), k)
 
 
-def _q_match_scatter(sf_dir: str, text: str, k: int) -> pa.Table:
-    from librecatastro_ray.pipelines.query import batch_search_scatter
-
-    eng = _engine(sf_dir)
-    out = batch_search_scatter(
-        eng.index_dir,
-        [{"query_id": 0, "kind": "match", "text": text, "k": 10**9}],
-        n_ranges=4,
-    )
-    return _rounded_rank(out.select(["rank", "doc_id", "score"]), k)
-
-
 def _q_bool_must(
     sf_dir: str,
     terms: list[str],
@@ -284,6 +280,39 @@ def _q_match_from(sf_dir: str, text: str, k: int, offset: int) -> pa.Table:
     rounded re-rank applies the same offset (reference sends "from":0 on
     every query, elasticsearch_utils.py:121 — this is the non-zero page)."""
     return _rounded_rank(_engine(sf_dir).match(text, k=10**9), k, offset=offset)
+
+
+def _q_match_suite(sf_dir: str) -> pa.Table:
+    """The four reference match shapes (single-term, multi-term OR, k=1,
+    non-zero ``from`` page) as ONE oracle entry: each case's top-k result is
+    tagged with a ``q`` case column and the oracle replays the same UNION —
+    consolidation keeps the registry inside the driver gate's entry window
+    without dropping any covered shape (round-3 verdict item 1)."""
+    cases = [
+        ("single", _q_match(sf_dir, "table", 10)),
+        ("multi", _q_match(sf_dir, "key value table part", 10)),
+        ("k1", _q_match(sf_dir, "value", 1)),
+        ("from", _q_match_from(sf_dir, "table value", 10, 5)),
+    ]
+    return pa.concat_tables(
+        t.append_column("q", pa.array([name] * len(t), pa.string()))
+        for name, t in cases
+    )
+
+
+def _q_bool_variants(sf_dir: str) -> pa.Table:
+    """must_not / pure-must_not / should bool shapes as one tagged entry
+    (same consolidation rationale as _q_match_suite)."""
+    cases = [
+        ("must_not", _q_bool_must(sf_dir, ["table"], 10, must_not=["slow"])),
+        # pure must_not = ES match_all minus the exclusions (constant score)
+        ("not_only", _q_bool_must(sf_dir, [], 10, must_not=["table"])),
+        ("should", _q_bool_must(sf_dir, ["table"], 10, should=["fast", "merge"])),
+    ]
+    return pa.concat_tables(
+        t.append_column("q", pa.array([name] * len(t), pa.string()))
+        for name, t in cases
+    )
 
 
 def _q_bool_probe_scatter(sf_dir: str) -> pa.Table:
@@ -382,28 +411,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from librecatastro_ray.pipelines import training as T
 
     return {
+        # --- round-3-unchecked entries FIRST: the r03 driver gate truncated
+        # at 50 of 55 entries and these five (last in the registry then) got
+        # no round-3 oracle row — never-rechecked entries now lead, and the
+        # registry is consolidated to 49 entries so every one gets a row
+        "events_hourly": R.events_hourly,
+        "events_sliding": R.events_sliding,
+        "asof_join_events": R.asof_join_events,
+        "filter_project_lineitem": R.filter_project_lineitem,
+        # B11 geometry filter (point-in-convex-polygon, synthetic coords)
+        "geo_filter_events": R.geo_filter_events,
         # --- index build artifacts (SURVEY §2: F2 doc ids, E3 stats, E4 postings)
         "corpus_doc_stats": _q_corpus_doc_stats,
         "postings_tf": _q_postings_tf,
         "term_df": _q_term_df,
         "index_global_stats": _q_global_stats,
-        # --- the reference query surface (SURVEY §2.Q)
-        "match_single": lambda sf: _q_match(sf, "table", 10),
-        "match_multi": lambda sf: _q_match(sf, "key value table part", 10),
-        "match_k1": lambda sf: _q_match(sf, "value", 1),
-        "match_from": lambda sf: _q_match_from(sf, "table value", 10, 5),
+        # --- the reference query surface (SURVEY §2.Q); the four match
+        # shapes and the three bool variants are case-tagged suite entries
+        "match_suite": _q_match_suite,
         "match_wand": lambda sf: _q_match_wand(sf, "key value table", 10),
-        "match_scatter": lambda sf: _q_match_scatter(sf, "row part hash", 10),
         "bool_must2": lambda sf: _q_bool_must(sf, ["fast", "slow"], 10),
         "bool_must_lang": lambda sf: _q_bool_must(sf, ["table"], 10, lang_eq="en"),
-        "bool_must_not": lambda sf: _q_bool_must(sf, ["table"], 10, must_not=["slow"]),
-        # pure must_not = ES match_all minus the exclusions (constant score)
-        "bool_must_not_only": lambda sf: _q_bool_must(sf, [], 10, must_not=["table"]),
-        "bool_should": lambda sf: _q_bool_must(
-            sf, ["table"], 10, should=["fast", "merge"]
-        ),
+        "bool_variants": _q_bool_variants,
         # the reference's exact dedup-probe shape: prefix + two more must
-        # clauses (elasticsearch_utils.py:111-119)
+        # clauses (elasticsearch_utils.py:111-119); the scatter twin serves
+        # the same query through the doc-range scatter-gather path
         "bool_must_ref_probe": lambda sf: _q_bool_must(
             sf, ["merge"], 10, lang_eq="en", path_prefix="docs/en/"
         ),
@@ -447,30 +479,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": lambda sf: T.ann_topk(sf, n_queries=5, k=10),
         "ivf_topk": _q_ivf_topk,  # nprobe-restricted top-k, SQL-replayed
-        # --- multimodal stubs (real plumbing, stubbed/deterministic-fake codecs)
-        "multimodal_decode": T.multimodal_decode_stub,
+        # --- multimodal: frame-sample stub plumbing (deterministic-fake
+        # codec; the metadata-only DecodeStub entry was folded into the real
+        # mm_* entries, which subsume its plumbing checks)
         "multimodal_frames": T.multimodal_frames,
-        # --- multimodal REAL decode (container-free PPM/WAV, numpy codecs;
-        # integer features over the DECODED arrays, oracle = generation-rule
-        # replay like the IVF entries)
+        # --- multimodal REAL decode (container-free PPM/WAV numpy codecs +
+        # a REAL PNG decoder: zlib inflate, CRC-verified chunk walk,
+        # per-scanline unfilter; integer features over the DECODED arrays,
+        # oracle = generation-rule replay like the IVF entries)
         "mm_image_features": M.image_features,
         "mm_audio_features": M.audio_features,
         # frame-sample over REAL decoded PCM (32-sample windows)
         "mm_audio_frames": lambda sf: M.audio_frames(sf, 32),
+        "mm_png_features": M.png_features,
         # --- nested data model (address struct + constructions list<struct>,
         # the reference's document shape, elasticsearch_utils.py:38-56)
         "nested_unnest": R.nested_unnest,
-        # --- relational shapes (filters, partial agg, broadcast join, top-k,
-        # window, as-of join)
+        # --- relational shapes (filters, partial agg, broadcast join, top-k;
+        # the window / as-of / geo shapes lead the registry, see above)
         "lineitem_agg": R.lineitem_agg,
         "orders_by_segment": R.orders_by_segment,
         "topk_orders": R.topk_orders,
-        "events_hourly": R.events_hourly,
-        "events_sliding": R.events_sliding,
-        "asof_join_events": R.asof_join_events,
-        "filter_project_lineitem": R.filter_project_lineitem,
-        # B11 geometry filter (point-in-convex-polygon, synthetic coords)
-        "geo_filter_events": R.geo_filter_events,
     }
 
 
@@ -595,6 +624,54 @@ ah AS (
 )
 SELECT d.doc_id, d.w::BIGINT AS width, d.h::BIGINT AS height,
        s.sum_r, s.sum_g, s.sum_b, ah.ahash
+FROM d JOIN sums s USING (doc_id) JOIN ah USING (doc_id)
+"""
+
+def _png_pix(ch: int) -> str:
+    """SQL for the synthesized PNG pixel byte at 8x8-resize position k,
+    channel ch: nearest-neighbor source index (sy*w + sx)*c + ch fed into
+    the PNG payload byte rule (multimodal.py PNG rule, replayed verbatim)."""
+    return (
+        f"((d.doc_id*197 + (((((k.k // 8) * d.h) // 8) * d.w"
+        f" + (((k.k % 8) * d.w) // 8)) * d.c + {ch}) * 23) % 256)"
+    )
+
+
+# REAL PNG decode replay: same strategy as _MM_IMAGE_SQL — the payload rule
+# is integer-deterministic, the engine round-trips it through a real zlib +
+# filter-encoded PNG, and the features over the DECODED pixels must equal
+# the rule replay (so a decode bug anywhere — CRC, inflate, any of the five
+# scanline filters — breaks the hash match)
+_MM_PNG_SQL = f"""
+WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 6 AS h,
+                  3 + doc_id % 2 AS c FROM documents),
+px AS (
+  SELECT doc_id, c, i.i AS i, (doc_id*197 + i.i*23) % 256 AS v
+  FROM d, unnest(range(0, w*h*c)) i(i)
+),
+sums AS (
+  SELECT doc_id,
+         sum(CASE WHEN i % c = 0 THEN v ELSE 0 END)::BIGINT AS sum_r,
+         sum(CASE WHEN i % c = 1 THEN v ELSE 0 END)::BIGINT AS sum_g,
+         sum(CASE WHEN i % c = 2 THEN v ELSE 0 END)::BIGINT AS sum_b,
+         sum(CASE WHEN c = 4 AND i % c = 3 THEN v ELSE 0 END)::BIGINT AS sum_a
+  FROM px GROUP BY doc_id
+),
+lum AS (
+  SELECT d.doc_id, k.k AS k,
+         ({_png_pix(0)} * 299 + {_png_pix(1)} * 587 + {_png_pix(2)} * 114) AS L
+  FROM d, unnest(range(0, 64)) k(k)
+),
+lt AS (SELECT doc_id, k, L, sum(L) OVER (PARTITION BY doc_id) AS tot FROM lum),
+ah AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN k < 63 AND 64*L > tot
+                       THEN (1::UBIGINT << k::UBIGINT) ELSE 0::UBIGINT END)::HUGEINT
+              AS BIGINT) AS ahash
+  FROM lt GROUP BY doc_id
+)
+SELECT d.doc_id, d.w::BIGINT AS width, d.h::BIGINT AS height,
+       d.c::BIGINT AS channels, s.sum_r, s.sum_g, s.sum_b, s.sum_a, ah.ahash
 FROM d JOIN sums s USING (doc_id) JOIN ah USING (doc_id)
 """
 
@@ -759,26 +836,27 @@ SELECT s.n_docs, (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl,
        round(s.avgdl, 6) AS avgdl
 FROM stats s
 """,
-        "match_single": _bm25_sql(["table"], 10),
-        "match_multi": _bm25_sql(["key", "value", "table", "part"], 10),
-        "match_k1": _bm25_sql(["value"], 1),
-        "match_from": _bm25_sql(["table", "value"], 10, offset=5),
+        "match_suite": _suite_sql([
+            ("single", _bm25_sql(["table"], 10)),
+            ("multi", _bm25_sql(["key", "value", "table", "part"], 10)),
+            ("k1", _bm25_sql(["value"], 1)),
+            ("from", _bm25_sql(["table", "value"], 10, offset=5)),
+        ]),
         "match_wand": _bm25_sql(["key", "value", "table"], 10),
-        "match_scatter": _bm25_sql(["row", "part", "hash"], 10),
         "bool_must2": _bm25_sql(["fast", "slow"], 10, must_all=True),
         "bool_must_lang": _bm25_sql(["table"], 10, must_all=True, lang_eq="en"),
-        "bool_must_not": _bm25_sql(["table"], 10, must_all=True, must_not=["slow"]),
-        "bool_must_not_only": f"""
+        "bool_variants": _suite_sql([
+            ("must_not", _bm25_sql(["table"], 10, must_all=True, must_not=["slow"])),
+            ("not_only", f"""
 {_BASE_CTE}
 SELECT rank, doc_id, score FROM (
     SELECT row_number() OVER (ORDER BY doc_id ASC) AS rank, doc_id, 1.0 AS score
     FROM ids
     WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ('table'))
 ) WHERE rank <= 10
-""",
-        "bool_should": _bm25_sql(
-            ["table"], 10, must_all=True, should=["fast", "merge"]
-        ),
+"""),
+            ("should", _bm25_sql(["table"], 10, must_all=True, should=["fast", "merge"])),
+        ]),
         "bool_must_ref_probe": _bm25_sql(
             ["merge"], 10, must_all=True, lang_eq="en", path_prefix="docs/en/"
         ),
@@ -871,6 +949,7 @@ SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
         "mm_image_features": _MM_IMAGE_SQL,
         "mm_audio_features": _MM_AUDIO_SQL,
         "mm_audio_frames": _MM_FRAMES_SQL,
+        "mm_png_features": _MM_PNG_SQL,
         "parse_entries_fallback": """
 WITH d AS (
   SELECT doc_id, coalesce(text, '') AS t, coalesce(lang, '') AS lang,
@@ -1057,20 +1136,6 @@ r AS (SELECT query_id, vec_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
       FROM pairs)
 SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= 10
-""",
-        "multimodal_decode": """
-WITH f AS (
-    SELECT doc_id, coalesce(text, '') AS t FROM documents
-),
-m AS (
-    SELECT doc_id, octet_length(encode(t))::BIGINT AS n_bytes,
-           upper(hex(encode(substr(t, 1, 8)))) AS head_hex
-    FROM f
-)
-SELECT doc_id, n_bytes, head_hex,
-       (n_bytes % 640)::BIGINT AS fake_width,
-       ((n_bytes * 7) % 480)::BIGINT AS fake_height
-FROM m
 """,
         "nested_unnest": """
 WITH base AS (

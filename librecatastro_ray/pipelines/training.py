@@ -1712,15 +1712,22 @@ def embedding_dup_pairs_ivf(
 class DecodeStub:
     """Multimodal decode stage with REAL Ray plumbing and a STUBBED decoder.
 
-    Treats the payload as an opaque binary column; the actual image/audio
-    decode would live in ``_decode`` (the codec libraries are not in this
-    container).  The deterministic fake derives metadata from the raw bytes so
-    the schema, batch sizing and actor-pool shape are exercised end-to-end.
+    Treats the payload as an opaque binary column; the actual decode would
+    live in ``_decode``.  The gate now covers ONLY the entropy-coded codec
+    formats (JPEG, H.264) whose libraries are not in this container —
+    PPM/WAV (multimodal.decode_ppm/decode_wav) and PNG
+    (multimodal.decode_png: zlib + numpy unfiltering) have REAL decoders.
+    The deterministic fake derives metadata from the raw bytes so the
+    schema, batch sizing and actor-pool shape are exercised end-to-end.
     """
 
     def __init__(self, real_decoder: bool = False):
         if real_decoder:
-            raise NotImplementedError("image/audio codecs not available in this environment")
+            raise NotImplementedError(
+                "JPEG/H.264 codecs not available in this environment "
+                "(PPM/WAV/PNG decode natively: librecatastro_ray.pipelines."
+                "multimodal.decode_ppm/decode_wav/decode_png)"
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [(_s or "") for _s in batch["text"].to_pylist()]
@@ -1783,7 +1790,11 @@ class FrameSampler:
         # same honest-stub policy as DecodeStub: the real codec path is
         # gated, the Ray plumbing is real
         if real_decoder:
-            raise NotImplementedError("video/image codecs not available in this environment")
+            raise NotImplementedError(
+                "video codecs (H.264) not available in this environment; "
+                "the audio twin with a REAL decoder is "
+                "multimodal.AudioFrameSampler"
+            )
 
     @staticmethod
     def _frame_feature(frame: str) -> str:

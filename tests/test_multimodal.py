@@ -68,6 +68,119 @@ def test_wav_roundtrip_and_guards():
         decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
 
 
+def test_png_golden_bytes():
+    """Decode a hand-assembled PNG byte string (chunks, CRCs and a filter-0
+    scanline built by hand in the test — not produced by our encoder)."""
+    import struct
+    import zlib
+
+    from librecatastro_ray.pipelines.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # 2x1 RGB, one scanline: filter 0 + pixels (10,20,30) (40,50,60)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes([0, 10, 20, 30, 40, 50, 60]))
+    buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    w, h, c, img = decode_png(buf)
+    assert (w, h, c) == (2, 1, 3)
+    assert img.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+
+
+def test_png_each_filter_type_golden():
+    """One image per scanline filter type (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth): decode(encode) must reproduce the pixels exactly — each filter
+    path is exercised in isolation on a 2-row image (row 2 depends on the
+    reconstructed row 1)."""
+    from librecatastro_ray.pipelines.multimodal import decode_png, encode_png
+
+    img = (np.arange(2 * 4 * 3, dtype=np.int64) * 37 % 256).astype(
+        np.uint8).reshape(2, 4, 3)
+    for ft in range(5):
+        w, h, c, out = decode_png(encode_png(img, filters=[0, ft]))
+        assert (w, h, c) == (4, 2, 3) and (out == img).all(), ft
+        # and as the first row too (prev = zeros path)
+        _, _, _, out2 = decode_png(encode_png(img, filters=[ft, ft]))
+        assert (out2 == img).all(), ft
+
+
+def test_png_roundtrip_property():
+    """Random shapes / channels / per-row filters: encode → decode identity
+    (zlib, chunk CRCs, and all five unfilter paths under random data)."""
+    from librecatastro_ray.pipelines.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(0)
+    for trial in range(60):
+        h, w = int(rng.randint(1, 11)), int(rng.randint(1, 11))
+        c = int(rng.choice([3, 4]))
+        img = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+        filters = rng.randint(0, 5, h).tolist()
+        w2, h2, c2, out = decode_png(encode_png(img, filters))
+        assert (w2, h2, c2) == (w, h, c) and (out == img).all(), (trial, filters)
+
+
+def test_png_guards():
+    import struct
+    import zlib
+
+    from librecatastro_ray.pipelines.multimodal import decode_png, encode_png
+
+    img = np.zeros((2, 2, 3), np.uint8)
+    buf = bytearray(encode_png(img))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF" + bytes(buf[4:]))
+    # corrupt one IDAT payload byte → CRC mismatch, loud
+    idat_at = bytes(buf).index(b"IDAT")
+    corrupted = bytearray(buf)
+    corrupted[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupted))
+    # 16-bit depth rejected
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    bad_ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(7))) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="only 8-bit"):
+        decode_png(bad)
+    # truncated file (IEND missing, last chunk torn)
+    with pytest.raises(ValueError):
+        decode_png(bytes(buf[: idat_at + 2]))
+
+
+def test_png_feature_stage_matches_independent_recompute():
+    from librecatastro_ray.pipelines.multimodal import (
+        PngFeatures,
+        _synth_png,
+        decode_png,
+    )
+
+    ids = [0, 1, 36, 37, 499]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "image_png": pa.array([_synth_png(d) for d in ids], pa.binary())})
+    got = PngFeatures()(t)
+    for row, d in enumerate(ids):
+        w, h, c, img = decode_png(_synth_png(d))
+        assert (w, h, c) == (5 + d % 11, 4 + d % 6, 3 + d % 2)
+        px = img.astype(np.int64)
+        assert got["width"][row].as_py() == w
+        assert got["channels"][row].as_py() == c
+        assert got["sum_r"][row].as_py() == int(px[:, :, 0].sum())
+        assert got["sum_a"][row].as_py() == (int(px[:, :, 3].sum()) if c == 4 else 0)
+        sy, sx = (np.arange(8) * h) // 8, (np.arange(8) * w) // 8
+        small = px[sy][:, sx]
+        luma = (small[:, :, 0] * 299 + small[:, :, 1] * 587
+                + small[:, :, 2] * 114).reshape(-1)
+        bits = (64 * luma > luma.sum()).astype(np.uint64)
+        expect = int((bits << np.arange(64, dtype=np.uint64)).sum()) % (1 << 63)
+        assert got["ahash"][row].as_py() == expect
+
+
 def test_feature_stages_decode_real_bytes():
     """ImageFeatures/AudioFeatures consume the BINARY column: features over
     decoded arrays match an independent recomputation from the same bytes."""
