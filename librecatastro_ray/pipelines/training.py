@@ -512,6 +512,7 @@ def ngram_jaccard_pairs(
     bucket_cap: int = _NGRAM_BUCKET_CAP,
     num_partitions: int | None = None,
     return_stats: bool = False,
+    sketch: bool | None = None,
 ) -> pa.Table | tuple[pa.Table, dict]:
     """Near-dup pairs by character-3-gram Jaccard, blocked by ``source``
     (pairwise work only inside a bucket, never a global cross join).
@@ -527,8 +528,11 @@ def ngram_jaccard_pairs(
     Degenerate buckets are still capped at ``bucket_cap`` docs (smallest
     doc_ids win, deterministic) because the op is inherently O(n²) per
     bucket; unlike the round-2 version the dropped-pair count is RETURNED
-    (``return_stats=True`` → ``(pairs, {"dropped_pairs", "capped_sources"})``)
-    instead of logged."""
+    (``return_stats=True`` → ``(pairs, stats)`` with dropped_pairs,
+    capped_sources, candidates, sketch_prefilter and — when the sketch path
+    engages — prefilter_survivors + the text-bytes-through-join reduction)
+    instead of logged.  ``sketch=None`` auto-engages the gram-sketch
+    candidate pre-filter on large-doc corpora (_SKETCH_MIN_TLEN)."""
     from ray.data.aggregate import Count
 
     ds = _docs_ds(sf_dir, ["doc_id", "source", "text"])
@@ -601,12 +605,28 @@ def ngram_jaccard_pairs(
         )
         .materialize()  # join barrier (two JoinOperators in one DAG deadlock)
     )
-    if pairs.count() == 0:
+    stats["candidates"] = int(pairs.count())
+    if stats["candidates"] == 0:
         return (_empty_pairs(), stats) if return_stats else _empty_pairs()
     texts = ds.map_batches(
         lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
     )
-    with_a = _attach_text(pairs, texts, "doc_a", "text_a", num_partitions).materialize()
+    # sketch pre-filter (same engine as the LSH path, 3-gram identity;
+    # engages on large-doc corpora only — see _SKETCH_MIN_TLEN): bottom-k
+    # gram sketches ride the candidate joins, full text attaches only to
+    # pairs that could still clear the threshold
+    if sketch is None:
+        sketch = _mean_tlen(texts) >= _SKETCH_MIN_TLEN
+    stats["sketch_prefilter"] = bool(sketch)
+    verify_src = pairs
+    if sketch:
+        verify_src, pre_stats = _sketch_prefilter_pairs(
+            pairs, texts, 3, threshold, num_partitions, return_stats
+        )
+        stats.update(pre_stats)
+        if stats["prefilter_survivors"] == 0:
+            return (_empty_pairs(), stats) if return_stats else _empty_pairs()
+    with_a = _attach_text(verify_src, texts, "doc_a", "text_a", num_partitions).materialize()
     with_ab = _attach_text(with_a, texts, "doc_b", "text_b", num_partitions)
     out = with_ab.map_batches(
         lambda b: _verify_pairs(b, threshold, n=3), batch_format="pandas"
@@ -679,13 +699,7 @@ class MinHasher:
         h = np.zeros(total, dtype=np.uint64)
         for k in range(self.n):
             h = h * np.uint64(0x100000001B3) + buf[starts + k]
-        # splitmix64 finalizer — decorrelates nearby windows
-        h ^= h >> np.uint64(30)
-        h *= np.uint64(0xBF58476D1CE4E5B9)
-        h ^= h >> np.uint64(27)
-        h *= np.uint64(0x94D049BB133111EB)
-        h ^= h >> np.uint64(31)
-        return h, n_win
+        return _splitmix64(h), n_win
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         """(n_docs, PERMS) uint64 minhash signature matrix (empty doc → 0s).
@@ -789,6 +803,231 @@ def _attach_text(pairs: ray.data.Dataset, texts: ray.data.Dataset, key_col: str,
     # the join emits left columns + right non-key columns (the right key is
     # represented by key_col itself)
     return pairs.join(side, "inner", num_partitions, on=(key_col,), right_on=("__jk",))
+
+
+def _attach_cols(pairs: ray.data.Dataset, side: ray.data.Dataset, key_col: str,
+                 suffix: str, cols: tuple[str, ...],
+                 num_partitions: int) -> ray.data.Dataset:
+    """Hash-join several SMALL per-doc columns onto candidate pairs by doc
+    id (native distributed join, the multi-column sibling of
+    :func:`_attach_text`)."""
+    side2 = side.map_batches(
+        lambda t: pa.table({"__jk": t["doc_id"],
+                            **{f"{c}{suffix}": t[c] for c in cols}}),
+        batch_format="pyarrow",
+    )
+    return pairs.join(side2, "inner", num_partitions, on=(key_col,), right_on=("__jk",))
+
+
+# --- gram-sketch candidate pre-filter -------------------------------------
+#
+# The exact-Jaccard verify joins used to attach FULL document text once per
+# candidate pair — at 100 KB/doc × candidate scale, the biggest byte-mover
+# in the dedup family (round-3 verdict).  Instead, a fixed-width bottom-k
+# gram-hash sketch (k × 8 B) + the exact distinct-gram count ride the
+# candidate joins, a conservative pre-filter kills pairs that cannot clear
+# the threshold, and full text attaches only to the survivors.
+
+_SKETCH_K = 256
+_SKETCH_PAD_BASE = np.uint64(0xFFFFFFFF00000000)
+# engage the sketch path only when documents OUTWEIGH their sketches: below
+# this mean text length the sketch (k x 8 B) is as big as the text itself
+# and the two extra candidate joins are pure overhead (measured at sf0.1,
+# ~390 B/doc: sketches DOUBLED wall time) — small-doc corpora attach text
+# directly; the 100 KB-doc regime the 100 TB design targets engages it
+_SKETCH_MIN_TLEN = 4 * _SKETCH_K * 8
+
+
+def _mean_tlen(texts: ray.data.Dataset, sample: int = 8192) -> float:
+    """Mean text length over a deterministic prefix sample — the cheap
+    engage-the-sketch-path heuristic (one pruned-column partial pass)."""
+    import pyarrow.compute as pc
+
+    t = texts.limit(sample).map_batches(
+        lambda b: pa.table({
+            "s": pa.array([int(pc.sum(pc.utf8_length(pc.fill_null(
+                b["text"].combine_chunks(), ""))).as_py() or 0)], pa.int64()),
+            "n": pa.array([len(b)], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return float(t["s"].sum()) / max(int(t["n"].sum()), 1)
+
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates nearby window hashes."""
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _char_gram_hashes(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hashes of every CHARACTER n-gram window of each lowercased
+    text (UTF-32 code points — the same gram identity the exact verify's
+    :func:`_gram_set_np` compares), concatenated across the batch; returns
+    ``(hashes, windows_per_doc)``.  One vectorized pass, no per-gram
+    Python."""
+    enc = [(t or "").lower().encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(e) // 4 for e in enc), dtype=np.int64, count=len(enc))
+    n_win = np.maximum(lens - (n - 1), 0)
+    total = int(n_win.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), n_win
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint32)
+    doc_off = np.zeros(len(enc), dtype=np.int64)
+    np.cumsum(lens[:-1], out=doc_off[1:])
+    starts = np.repeat(doc_off, n_win) + _segment_arange(n_win)
+    h = np.zeros(total, dtype=np.uint64)
+    for k in range(n):
+        h = h * np.uint64(0x100000001B3) + buf[starts + k]
+    return _splitmix64(h), n_win
+
+
+class GramSketcher:
+    """Actor-pool stage: (doc_id, text) → (doc_id, sketch, gsize, tlen)
+    where ``sketch`` is the bottom-``k`` DISTINCT gram hashes (sorted
+    ascending, uint64 little-endian bytes — ≤ k·8 B however long the doc),
+    ``gsize`` the exact distinct-gram count and ``tlen`` the text length.
+    Fully vectorized: one window-hash pass, one lexsort for per-doc distinct
+    + bottom-k; per-doc Python is only the final ``tobytes`` slice."""
+
+    def __init__(self, n: int = 4, k: int = _SKETCH_K):
+        self.n, self.k = int(n), int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        h, n_win = _char_gram_hashes(texts, self.n)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_win)
+        order = np.lexsort((h, doc_idx))
+        hs, ds_ = h[order], doc_idx[order]
+        first = np.concatenate(
+            [[True], (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])]
+        ) if len(hs) else np.zeros(0, dtype=bool)
+        dd, hh = ds_[first], hs[first]
+        gsizes = np.bincount(dd, minlength=len(texts)).astype(np.int64)
+        keep = _segment_arange(gsizes) < self.k
+        flat = hh[keep]
+        kept = np.minimum(gsizes, self.k)
+        offs = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(kept, out=offs[1:])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sketch": pa.array(
+                [flat[offs[i]: offs[i + 1]].tobytes() for i in range(len(texts))],
+                pa.binary(),
+            ),
+            "gsize": pa.array(gsizes, pa.int64()),
+            "tlen": pa.array([len(t or "") for t in texts], pa.int64()),
+        })
+
+
+def _sketch_matrix(col, k: int, parity: int) -> np.ndarray:
+    """(P, k) uint64 matrix from variable-length sketch bytes, padded with
+    row-position-unique sentinels above every real hash (even series for
+    side a, odd for side b — pads never match pads or reals), so rows stay
+    sorted ascending."""
+    bufs = col.to_pylist()
+    lens = np.fromiter((len(b) // 8 for b in bufs), dtype=np.int64, count=len(bufs))
+    pads = _SKETCH_PAD_BASE + (
+        np.arange(k, dtype=np.uint64) * np.uint64(2) + np.uint64(parity)
+    )
+    M = np.tile(pads, (len(bufs), 1))
+    if int(lens.sum()):
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint64)
+        M[np.repeat(np.arange(len(bufs)), lens), _segment_arange(lens)] = flat
+    return M
+
+
+def _sketch_prefilter(t: pa.Table, threshold: float, k: int = _SKETCH_K) -> pa.Table:
+    """Conservative pre-filter over sketch-attached candidate pairs: a HARD
+    gram-set-size-ratio bound (J ≤ min/max — exact, zero false negatives)
+    plus the bottom-k merge estimate with a 7σ margin (≈3.5/√k; pairs whose
+    whole gram sets fit in the sketches are estimated EXACTLY, margin 1e-6).
+    Only pairs that could still clear ``threshold`` keep their (doc_a,
+    doc_b, tlen) columns for the full-text exact verify; a borderline-true
+    pair is dropped only with probability ≲1e-9, and the sketches are
+    deterministic, so a green oracle run stays green."""
+    if len(t) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "tlen_a": pa.array([], pa.int64()),
+                         "tlen_b": pa.array([], pa.int64())})
+    ga = t["gsize_a"].to_numpy()
+    gb = t["gsize_b"].to_numpy()
+    A = _sketch_matrix(t["sketch_a"], k, 0)
+    B = _sketch_matrix(t["sketch_b"], k, 1)
+    C = np.sort(np.concatenate([A, B], axis=1), axis=1)
+    D = C[:, 1:] == C[:, :-1]  # adjacent dup = value in BOTH sketches
+    CD = np.cumsum(D, axis=1)
+    j = np.arange(D.shape[1], dtype=np.int64)[None, :]
+    dist_idx = j - (CD - D)  # distinct rank of each matched value
+    matches = D.sum(axis=1)
+    union_sk = np.minimum(ga, k) + np.minimum(gb, k) - matches
+    k_eff = np.maximum(np.minimum(k, union_sk), 1)
+    in_bottom = (D & (dist_idx < k_eff[:, None])).sum(axis=1)
+    est = in_bottom / k_eff
+    exact = (ga <= k) & (gb <= k)
+    margin = np.where(exact, 1e-6, 3.5 / np.sqrt(k_eff))
+    size_bound = np.minimum(ga, gb) / np.maximum(np.maximum(ga, gb), 1)
+    keep = (
+        (np.minimum(ga, gb) > 0)
+        & (size_bound >= threshold - 1e-6)
+        & (est + margin >= threshold)
+    )
+    kept = t.filter(pa.array(keep))
+    return kept.select(["doc_a", "doc_b", "tlen_a", "tlen_b"])
+
+
+def _sketch_prefilter_pairs(
+    pairs: ray.data.Dataset, texts: ray.data.Dataset, n: int, threshold: float,
+    num_partitions: int, want_bytes: bool,
+) -> tuple[ray.data.Dataset, dict]:
+    """The shared sketch-pre-filter stage of both Jaccard dedup paths:
+    sketch the (already candidate-scoped) texts once, ride the sketches
+    through the two candidate joins, keep only pairs that could still clear
+    ``threshold``.  Returns (survivor pairs, stats); ``want_bytes`` adds the
+    bytes-through-join reduction stat (two extra tiny aggregate passes)."""
+    sketches = texts.map_batches(
+        GramSketcher, fn_constructor_kwargs={"n": n},
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
+        max_restarts=0,  # ray#53727
+    ).materialize()
+    sk_a = _attach_cols(
+        pairs, sketches, "doc_a", "_a", ("sketch", "gsize", "tlen"), num_partitions
+    ).materialize()
+    sk_ab = _attach_cols(
+        sk_a, sketches, "doc_b", "_b", ("sketch", "gsize", "tlen"), num_partitions
+    ).materialize()
+    pre = sk_ab.map_batches(
+        lambda t: _sketch_prefilter(t, threshold),
+        batch_format="pyarrow", batch_size=4096,
+    ).materialize()
+    stats = {"prefilter_survivors": int(pre.count())}
+    if want_bytes:
+        # bytes the verify join ships now vs. attaching text to every
+        # candidate (the round-2/3 behavior) — the reduction the sketch buys
+        kept_bytes = _sum_pair_tlen(pre)
+        all_bytes = _sum_pair_tlen(sk_ab)
+        stats["text_bytes_attached"] = kept_bytes
+        stats["text_bytes_saved"] = all_bytes - kept_bytes
+    return pre, stats
+
+
+def _sum_pair_tlen(pairs: ray.data.Dataset) -> int:
+    """Σ(tlen_a + tlen_b) over a pair Dataset — the text bytes a verify
+    join would ship for it (tiny partial-agg pass, driver gets one int)."""
+    import pyarrow.compute as pc
+
+    s = pairs.map_batches(
+        lambda t: pa.table({"b": pa.array(
+            [int((pc.sum(t["tlen_a"]).as_py() or 0)
+                 + (pc.sum(t["tlen_b"]).as_py() or 0))], pa.int64())}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return int(s["b"].sum()) if len(s) else 0
 
 
 def _bucketed_pair_candidates(
@@ -977,8 +1216,9 @@ def _verify_pairs(batch: pd.DataFrame, threshold: float, n: int = 4) -> pd.DataF
 
 
 def minhash_lsh_candidates(
-    sf_dir: str, verify_threshold: float = 0.6, num_partitions: int | None = None
-) -> pa.Table:
+    sf_dir: str, verify_threshold: float = 0.6, num_partitions: int | None = None,
+    return_stats: bool = False, sketch: bool | None = None,
+) -> pa.Table | tuple[pa.Table, dict]:
     """MinHash+LSH near-dup: shingle → minhash → band buckets → candidate
     pairs via a DISTRIBUTED bucket self-join → DISTRIBUTED exact-Jaccard
     verification (numpy gram-set intersections) → output-scale pair dedup.  Deterministic (seeded permutations).  Everything is
@@ -1013,8 +1253,9 @@ def minhash_lsh_candidates(
     cand = _bucketed_pair_candidates(
         bands, num_partitions, dedupe=False
     ).materialize()  # consumed twice (id-set + attach join)
-    if cand.count() == 0:
-        return _empty_pairs()
+    stats = {"candidates": int(cand.count())}
+    if stats["candidates"] == 0:
+        return (_empty_pairs(), stats) if return_stats else _empty_pairs()
     # semi-join texts down to candidate ids with the native distributed hash
     # join — the candidate-id set NEVER lands on the driver (candidates scale
     # with corpus self-similarity, not with output: a template-heavy corpus
@@ -1034,17 +1275,32 @@ def minhash_lsh_candidates(
     # join output = left cols + right non-key cols → (doc_id, text) filtered
     # to candidates; candidate texts live in the (spillable) object store
     texts = ds.join(cand_ids, "inner", num_partitions, on=("doc_id",)).materialize()
-    with_a = _attach_text(cand, texts, "doc_a", "text_a", num_partitions).materialize()
+    # sketch pre-filter (large-doc corpora only, see _SKETCH_MIN_TLEN):
+    # fixed-width bottom-k gram sketches ride the candidate joins, FULL
+    # text attaches only to survivors
+    if sketch is None:
+        sketch = _mean_tlen(texts) >= _SKETCH_MIN_TLEN
+    stats["sketch_prefilter"] = bool(sketch)
+    verify_src = cand
+    if sketch:
+        verify_src, pre_stats = _sketch_prefilter_pairs(
+            cand, texts, 4, verify_threshold, num_partitions, return_stats
+        )
+        stats.update(pre_stats)
+        if stats["prefilter_survivors"] == 0:
+            return (_empty_pairs(), stats) if return_stats else _empty_pairs()
+    with_a = _attach_text(verify_src, texts, "doc_a", "text_a", num_partitions).materialize()
     with_ab = _attach_text(with_a, texts, "doc_b", "text_b", num_partitions)
     out = with_ab.map_batches(
         lambda b: _verify_pairs(b, verify_threshold), batch_format="pandas"
     ).to_pandas()  # verified pairs: output-scale
     if out.empty:
-        return _empty_pairs()
+        return (_empty_pairs(), stats) if return_stats else _empty_pairs()
     out = out.drop_duplicates(["doc_a", "doc_b"])  # band-duplicated copies
-    return pa.Table.from_pandas(
+    table = pa.Table.from_pandas(
         out.sort_values(["doc_a", "doc_b"], ignore_index=True), preserve_index=False
     )
+    return (table, stats) if return_stats else table
 
 
 class SimHasher:

@@ -673,3 +673,88 @@ def test_concat_chunks_empty_corpus(tmp_path):
     assert len(df) == 0
     assert set(df.columns) >= {"doc_id", "source", "n_tokens", "tok_offset",
                                "chunk_first", "chunk_last"} or df.empty
+
+
+def test_sketch_prefilter_large_docs_identity_and_savings(tmp_path):
+    """Large-doc corpus (the regime the sketch path targets): the gram-sketch
+    pre-filter must (a) auto-engage, (b) produce the IDENTICAL verified pair
+    set as the direct text-attach path, and (c) report a real
+    bytes-through-join reduction (text attaches only to survivors)."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import (
+        _SKETCH_MIN_TLEN,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    alphabet = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz0123456789 ", np.uint8)
+    doc_len = 10000
+    assert doc_len > _SKETCH_MIN_TLEN
+
+    def rand_doc() -> str:
+        return alphabet[rng.randint(0, len(alphabet), doc_len)].tobytes().decode()
+
+    base = rand_doc()
+    texts = []
+    for i in range(40):
+        if i % 4 == 0 and i:  # near-dup of doc 0: mutate ~2% of characters
+            chars = np.frombuffer(base.encode(), np.uint8).copy()
+            pos = rng.randint(0, doc_len, doc_len // 50)
+            chars[pos] = alphabet[rng.randint(0, len(alphabet), len(pos))]
+            texts.append(chars.tobytes().decode())
+        else:
+            texts.append(rand_doc())
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "source": pa.array(["s0"] * 40, pa.string()),
+                  "lang": pa.array(["en"] * 40, pa.string()),
+                  "text": pa.array(texts, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+
+    on_t, on_s = ngram_jaccard_pairs(str(sf), 0.62, return_stats=True)
+    off_t = ngram_jaccard_pairs(str(sf), 0.62, sketch=False)
+    assert on_s["sketch_prefilter"] is True  # auto-engaged on large docs
+    assert on_t.to_pydict() == off_t.to_pydict()
+    assert len(on_t) > 0  # the planted near-dup cluster verified
+    # one bucket of 40 docs = 780 candidates; only the near-dup pairs (plus
+    # margin-window stragglers) should survive to the text attach
+    assert on_s["prefilter_survivors"] < on_s["candidates"]
+    assert on_s["text_bytes_saved"] > 0
+    assert on_s["text_bytes_attached"] < (
+        on_s["text_bytes_saved"] + on_s["text_bytes_attached"]) // 2
+
+    lsh_on, lsh_s = minhash_lsh_candidates(str(sf), 0.6, return_stats=True)
+    lsh_off = minhash_lsh_candidates(str(sf), 0.6, sketch=False)
+    assert lsh_s["sketch_prefilter"] is True
+    assert lsh_on.to_pydict() == lsh_off.to_pydict()
+    assert len(lsh_on) > 0
+
+
+def test_sketch_prefilter_bypassed_on_small_docs(tmp_path):
+    """Short-doc corpus: the sketch would outweigh the text — the auto
+    heuristic must BYPASS it (direct text attach, round-3 behavior)."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import ngram_jaccard_pairs
+
+    texts = [f"short doc {i} alpha beta gamma" for i in range(20)] + [
+        "short doc 0 alpha beta gamma"
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(21), pa.int64()),
+                  "source": pa.array(["s0"] * 21, pa.string()),
+                  "lang": pa.array(["en"] * 21, pa.string()),
+                  "text": pa.array(texts, pa.string())}),
+        str(sf / "documents.parquet"),
+    )
+    out, stats = ngram_jaccard_pairs(str(sf), 0.62, return_stats=True)
+    assert stats["sketch_prefilter"] is False
+    assert "prefilter_survivors" not in stats
+    assert len(out) > 0  # dup of doc 0 still verified on the direct path
