@@ -218,31 +218,42 @@ def run_bench() -> dict:
     }
 
 
-def matmul_control(lo: int, hi: int) -> float:
+def _matmul_procs(n: int) -> float:
+    """Wall time for n concurrent single-threaded in-cache matmul processes
+    (a fixed no-shared-state workload)."""
+    code = ("import numpy as np, time; a=np.random.rand(200,200); "
+            "[a@a for _ in range(3000)]")
+    t0 = time.monotonic()
+    ps = [
+        subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.DEVNULL,
+            env=dict(os.environ, OMP_NUM_THREADS="1"),
+        )
+        for _ in range(n)
+    ]
+    for p_ in ps:
+        p_.wait()
+    return time.monotonic() - t0
+
+
+def matmul_control(lo: int, hi: int, reps: int = 3) -> float:
     """No-shared-state lo-vs-hi-process scaling of in-cache matmuls: what the
     time-shared host actually delivers right now.  Reported alongside the
     engine pair so a depressed engine reading can be attributed (or not) to
     host contention — see BASELINE.md's paired-window protocol."""
-    code = ("import numpy as np, time; a=np.random.rand(200,200); "
-            "[a@a for _ in range(3000)]")
-
-    def one(n: int) -> float:
-        t0 = time.monotonic()
-        ps = [
-            subprocess.Popen(
-                [sys.executable, "-c", code],
-                stdout=subprocess.DEVNULL,
-                env=dict(os.environ, OMP_NUM_THREADS="1"),
-            )
-            for _ in range(n)
-        ]
-        for p_ in ps:
-            p_.wait()
-        return time.monotonic() - t0
-
-    best_lo = min(one(lo) for _ in range(3))
-    best_hi = min(one(hi) for _ in range(3))
+    best_lo = min(_matmul_procs(lo) for _ in range(reps))
+    best_hi = min(_matmul_procs(hi) for _ in range(reps))
     return round(((hi / best_hi) / (lo / best_lo)) / (hi / lo), 3)
+
+
+def host_control(n: int) -> float:
+    """Contemporaneous host-capacity reading for the headline bench: wall
+    time of ONE matmul process vs n concurrent ones.  1.0 = n free cores;
+    well below ~0.8 = a contended window, self-evident in the bench JSON
+    (round-3 verdict: the driver's r03 reading regressed in a window whose
+    control read 0.77 — embed the control, don't argue it after the fact)."""
+    return round(_matmul_procs(1) / _matmul_procs(n), 3)
 
 
 def run_scaling() -> dict:
@@ -301,13 +312,24 @@ def run_scaling() -> dict:
 
 
 def run_bench_best() -> dict:
-    """Best of LCRAY_BENCH_TRIALS (default 2) interleaved trials — the
+    """Best of LCRAY_BENCH_TRIALS (default 4) interleaved trials — the
     sandbox host is time-shared and a single reading can land in an
     interference window (BASELINE.md documents swings of 24%+ at fixed
-    code); every trial's total is reported so the spread is visible."""
-    trials = [run_bench() for _ in range(int(os.environ.get("LCRAY_BENCH_TRIALS", "2")))]
-    best = min(trials, key=lambda r: r["value"])
+    code); every trial's total is reported so the spread is visible, and a
+    no-shared-state matmul control runs AFTER EACH trial so a contended
+    window shows up in the same JSON line (``controls`` per trial;
+    ``control_efficiency`` = the control adjacent to the reported best
+    trial)."""
+    n_trials = int(os.environ.get("LCRAY_BENCH_TRIALS", "4"))
+    trials, controls = [], []
+    for _ in range(n_trials):
+        trials.append(run_bench())
+        controls.append(host_control(NUM_CPUS))
+    best_i = min(range(n_trials), key=lambda i: trials[i]["value"])
+    best = trials[best_i]
     best["trials_sec"] = [r["value"] for r in trials]
+    best["controls"] = controls
+    best["control_efficiency"] = controls[best_i]
     return best
 
 
