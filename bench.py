@@ -249,11 +249,15 @@ def matmul_control(lo: int, hi: int, reps: int = 3) -> float:
 
 def host_control(n: int) -> float:
     """Contemporaneous host-capacity reading for the headline bench: wall
-    time of ONE matmul process vs n concurrent ones.  1.0 = n free cores;
-    well below ~0.8 = a contended window, self-evident in the bench JSON
-    (round-3 verdict: the driver's r03 reading regressed in a window whose
-    control read 0.77 — embed the control, don't argue it after the fact)."""
-    return round(_matmul_procs(1) / _matmul_procs(n), 3)
+    time of ONE matmul process vs min(n, 8) concurrent ones.  1.0 = that
+    many free cores; well below ~0.8 = a contended window, self-evident in
+    the bench JSON (round-3 verdict: the driver's r03 reading regressed in
+    a window whose control read 0.77 — embed the control, don't argue it
+    after the fact).  Capped at 8 because the cliff ABOVE ~16 concurrent
+    pinned procs is a structural property of this time-shared host
+    (measured 1/8/16/32 procs: 4.1/4.3/5.8/44.2 s — same fixed work), not
+    of the current window; 1-vs-8 is what separates clean from contended."""
+    return round(_matmul_procs(1) / _matmul_procs(min(n, 8)), 3)
 
 
 def run_scaling() -> dict:

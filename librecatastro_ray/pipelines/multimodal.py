@@ -72,7 +72,11 @@ def decode_ppm(buf: bytes) -> tuple[int, int, np.ndarray]:
     width, height, maxval = fields
     if maxval != 255:
         raise ValueError("only 8-bit PPM supported")
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PPM dimensions")
     n = width * height * 3
+    if len(buf) - pos < n:
+        raise ValueError("truncated PPM payload")
     pix = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
     return width, height, pix.reshape(height, width, 3)
 
@@ -98,11 +102,17 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
         cid = buf[pos : pos + 4]
         (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         chunk = buf[pos + 8 : pos + 8 + size]
+        if len(chunk) < size:
+            raise ValueError(f"truncated RIFF chunk {cid!r}")
         if cid == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("torn fmt chunk")
             audio_fmt, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", chunk[:16])
             if audio_fmt != 1 or channels != 1 or bits != 16:
                 raise ValueError("only mono PCM16 supported")
         elif cid == b"data":
+            if size % 2:
+                raise ValueError("odd-length PCM16 data chunk")
             data = chunk
         pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
     if rate is None or data is None:

@@ -250,3 +250,86 @@ def test_audio_frame_sampler_known_values():
                                          pa.binary())})
     r3 = AudioFrameSampler(frame_len=2)(t3).to_pylist()[0]
     assert (r3["n_frames"], r3["peak_frame"]) == (0, -1)
+
+
+def test_decoder_adversarial_headers():
+    """Adversarial inputs (torn fmt, truncated payloads/chunks, odd PCM
+    data, non-positive dims) fail LOUDLY with ValueError — plus a fuzz pass:
+    random truncations/mutations of valid files either decode or raise
+    ValueError, never a stray exception type."""
+    import struct
+
+    from librecatastro_ray.pipelines.multimodal import (
+        decode_png,
+        decode_ppm,
+        decode_wav,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
+
+    # torn fmt chunk (declared 16 bytes, carries 4)
+    torn = (b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00")
+    with pytest.raises(ValueError):
+        decode_wav(torn)
+    # data chunk whose declared size overruns the buffer
+    over = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+            + b"data" + struct.pack("<I", 1000) + b"\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(over)
+    # odd-length PCM16 data
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    odd = (b"RIFF" + struct.pack("<I", 33) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 3) + b"\x00\x01\x02" + b"\x00")
+    with pytest.raises(ValueError, match="odd-length"):
+        decode_wav(odd)
+    # truncated PPM payload + non-positive dims
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n" + bytes(5))
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_ppm(b"P6\n0 4\n255\n")
+    # fuzz: truncations and byte flips of valid files
+    rng = np.random.RandomState(9)
+    wav = encode_wav(8000, (rng.randint(-100, 100, 64)).astype(np.int16))
+    ppm = encode_ppm(4, 3, rng.randint(0, 256, 36).astype(np.uint8))
+    png = encode_png(rng.randint(0, 256, (3, 4, 3)).astype(np.uint8))
+    for buf, dec in ((wav, decode_wav), (ppm, decode_ppm), (png, decode_png)):
+        for _ in range(120):
+            b = bytearray(buf)
+            if rng.rand() < 0.5:
+                b = b[: rng.randint(0, len(b))]  # truncate
+            else:
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)  # bit flip
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass  # loud rejection is the contract
+
+
+def test_scatter_many_queries_stress(built_index):
+    """Many-queries scatter-gather: 10⁴ queries through 4 doc ranges —
+    every query returns ≤ k rows, ranks are 1..n_i, and a sample matches
+    the single-engine result exactly."""
+    from librecatastro_ray.pipelines.query import QueryEngine, batch_search_scatter
+
+    index_dir, _ = built_index
+    k = 5
+    vocab = ["def", "return", "if", "self", "x", "id_00007", "id_00028"]
+    queries = [
+        {"query_id": i, "kind": "match",
+         "text": " ".join(vocab[(i + j) % len(vocab)] for j in range(1 + i % 3)),
+         "k": k}
+        for i in range(10_000)
+    ]
+    out = batch_search_scatter(index_dir, queries, n_ranges=4).to_pandas()
+    per_q = out.groupby("query_id").size()
+    assert (per_q <= k).all()
+    ranks = out.groupby("query_id")["rank"].max()
+    assert (ranks == per_q.loc[ranks.index]).all()  # ranks are dense 1..n
+    eng = QueryEngine(index_dir)
+    for i in (0, 137, 4242, 9999):
+        exp = eng.match(queries[i]["text"], k=k)
+        got = out[out.query_id == i].sort_values("rank")
+        assert got["doc_id"].tolist() == exp["doc_id"].to_pylist(), i
