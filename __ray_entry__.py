@@ -457,6 +457,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic hash split + concat-then-chunk sequence packing
         "train_val_split": T.train_val_split,
         "concat_chunks": lambda sf: T.concat_chunks(sf, 512),
+        # train-vs-eval 8-token-gram overlap (broadcast eval grams, one
+        # shuffle-free corpus scan)
+        "decontaminate": T.decontaminate,
         # --- deduplication family
         "dedup_exact": T.exact_dedup,
         # composite curation: dedup winners ∩ quality thresholds ∩ lang filter
@@ -946,6 +949,31 @@ SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
         "parse_xml_records": _XML_RECORDS_SQL,
         "train_val_split": _SPLIT_SQL,
         "concat_chunks": _CHUNKS_SQL,
+        # decontamination replay: the oracle compares the space-joined token
+        # strings exactly (the engine compares 64-bit rolling hashes of the
+        # same windows — equal w.h.p., validated by the hash gate)
+        "decontaminate": """
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                   '[^a-z0-9_]+'),
+                             t -> t <> '') AS l
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(l[i.i:i.i+7], ' ') AS gram
+  FROM d, unnest(range(1, greatest(length(l) - 7, 0) + 1)) i(i)
+),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT g.doc_id, count(*)::BIGINT AS n_contaminated
+         FROM g JOIN b USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       greatest(length(l) - 7, 0)::BIGINT AS n_grams,
+       coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       (CASE WHEN coalesce(h.n_contaminated, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS contaminated,
+       (CASE WHEN d.doc_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT AS is_benchmark
+FROM d LEFT JOIN hits h USING (doc_id)
+""",
         "mm_image_features": _MM_IMAGE_SQL,
         "mm_audio_features": _MM_AUDIO_SQL,
         "mm_audio_frames": _MM_FRAMES_SQL,

@@ -153,7 +153,9 @@ def run_bench() -> dict:
     ray.data.read_parquet(corpus_dir).count()
     index_dir = os.path.join(WORK_ROOT, f"idx_{sf_tag}_cpus{NUM_CPUS}")
     drop_index(index_dir)
-    cfg = IndexConfig(num_partitions=16, num_salts=4, hot_df_ratio=0.02)
+    cfg = IndexConfig(
+        num_partitions=int(os.environ.get("LCRAY_BENCH_PARTITIONS", "16")),
+        num_salts=4, hot_df_ratio=0.02)
     t0 = time.monotonic()
     build_out = build_index(corpus_dir, index_dir, cfg, resume=False)
     build_sec = time.monotonic() - t0
@@ -287,29 +289,46 @@ def run_scaling() -> dict:
     # virtualization, not the engine; 2-vs-8 is the meaningful N-vs-4N pair
     lo = int(os.environ.get("LCRAY_SCALING_LO", "2"))
     hi = int(os.environ.get("LCRAY_SCALING_HI", "8"))
-    runs_lo, runs_hi = [], []
+    pairs = []
     for _ in range(trials):
-        runs_lo.append(one(lo))
-        runs_hi.append(one(hi))
-    r_lo = min(runs_lo, key=lambda r: r["queries"]["build"])
-    r_hi = min(runs_hi, key=lambda r: r["queries"]["build"])
-    # efficiency on the build stage (the distributed pipeline under test)
-    tput_lo = r_lo["n_docs"] / r_lo["queries"]["build"]
-    tput_hi = r_hi["n_docs"] / r_hi["queries"]["build"]
-    eff = (tput_hi / tput_lo) / (hi / lo)
+        r_lo = one(lo)
+        r_hi = one(hi)
+        tput_lo = r_lo["n_docs"] / r_lo["queries"]["build"]
+        tput_hi = r_hi["n_docs"] / r_hi["queries"]["build"]
+        pairs.append({
+            "r_lo": r_lo, "r_hi": r_hi,
+            "eff": round((tput_hi / tput_lo) / (hi / lo), 3),
+            # each side's run embeds its own adjacent matmul control; a pair
+            # is CLEAN only when both sides ran in uncontended windows (a
+            # contended hi side under-reads efficiency, a contended lo side
+            # over-reads it — either way the pair is not evidence)
+            "ctrl_lo": r_lo.get("control_efficiency"),
+            "ctrl_hi": r_hi.get("control_efficiency"),
+            "tput_lo": tput_lo, "tput_hi": tput_hi,
+        })
+    # report the best pair measured in a clean window; pairing the luckiest
+    # lo with the luckiest hi across windows (the old best-of-per-side)
+    # mixes windows and biases the ratio
+    clean = [p for p in pairs
+             if (p["ctrl_lo"] or 0) >= 0.9 and (p["ctrl_hi"] or 0) >= 0.9]
+    best = (max(clean, key=lambda p: p["eff"]) if clean
+            else max(pairs, key=lambda p: min(p["ctrl_lo"] or 0, p["ctrl_hi"] or 0)))
+    r_lo, r_hi = best["r_lo"], best["r_hi"]
     return {
         "metric": f"scaling efficiency (fresh processes, num_cpus {lo} vs {hi}; in-sandbox stand-in for N vs 4N nodes)",
         "cpus_lo": lo,
         "cpus_hi": hi,
         "build_sec_lo": r_lo["queries"]["build"],
         "build_sec_hi": r_hi["queries"]["build"],
-        "docs_per_sec_lo": round(tput_lo, 1),
-        "docs_per_sec_hi": round(tput_hi, 1),
+        "docs_per_sec_lo": round(best["tput_lo"], 1),
+        "docs_per_sec_hi": round(best["tput_hi"], 1),
         "total_sec_lo": r_lo["value"],
         "total_sec_hi": r_hi["value"],
         "qps_lo": r_lo["qps"],
         "qps_hi": r_hi["qps"],
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": best["eff"],
+        "pair_efficiencies": [p["eff"] for p in pairs],
+        "pair_controls": [[p["ctrl_lo"], p["ctrl_hi"]] for p in pairs],
         # contemporaneous no-shared-state control: the host's own ceiling
         "control_efficiency": matmul_control(lo, hi),
     }

@@ -1470,6 +1470,107 @@ def dedup_simhash(
 
 
 # ---------------------------------------------------------------------------
+# decontamination (train-vs-eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # the customary pretraining decontamination window (8 tokens)
+_DECON_MOD = 97  # deterministic stand-in eval set: doc_id % 97 == 0
+
+
+def _token_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling n-TOKEN gram hashes per doc under the canonical tokenizer:
+    one vectorized tokenize pass, md5-based per-unique-token hashes, then a
+    polynomial fold over each n-token window.  Returns ``(gram_hashes,
+    windows_per_doc)`` — equal hash ⟺ equal token sequence (w.h.p.; the
+    SQL oracle compares the space-joined token strings exactly)."""
+    from librecatastro_ray.functions.hashing import term_hashes
+    from librecatastro_ray.functions.tokenizer import tokenize_batch
+
+    parent_idx, terms, dl = tokenize_batch(texts)
+    n_win = np.maximum(dl - (n - 1), 0)
+    total = int(n_win.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), n_win
+    th = term_hashes(terms).astype(np.uint64)
+    doc_off = np.zeros(len(dl), dtype=np.int64)
+    np.cumsum(dl[:-1], out=doc_off[1:])
+    starts = np.repeat(doc_off, n_win) + _segment_arange(n_win)
+    g = np.zeros(total, dtype=np.uint64)
+    for k in range(n):
+        g = g * np.uint64(1000003) + th[starts + k]
+    return _splitmix64(g), n_win
+
+
+class Decontaminator:
+    """Actor-pool corpus scan: the (small) eval-set gram-hash array is
+    broadcast once via ray.put and fetched in __init__; each batch does one
+    vectorized tokenize + rolling-hash pass and a sorted-array searchsorted
+    membership test — no Python over rows or grams."""
+
+    def __init__(self, bench_ref, n: int, mod: int):
+        self.bench = ray.get(bench_ref)  # sorted uint64 gram hashes
+        self.n, self.mod = int(n), int(mod)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pa.compute.fill_null(batch["text"].combine_chunks(), "")
+        g, n_win = _token_gram_hashes(texts, self.n)
+        hit = np.zeros(len(g), dtype=bool)
+        if len(g) and len(self.bench):
+            pos = np.searchsorted(self.bench, g)
+            pos[pos == len(self.bench)] = len(self.bench) - 1
+            hit = self.bench[pos] == g
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_win)
+        n_cont = np.bincount(doc_idx[hit], minlength=len(texts)).astype(np.int64)
+        did = batch["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(n_win, pa.int64()),
+            "n_contaminated": pa.array(n_cont, pa.int64()),
+            "contaminated": pa.array((n_cont > 0).astype(np.int64), pa.int64()),
+            "is_benchmark": pa.array((did % self.mod == 0).astype(np.int64), pa.int64()),
+        })
+
+
+def decontaminate(
+    sf_dir: str, n: int = _DECON_N, benchmark_mod: int = _DECON_MOD
+) -> ray.data.Dataset:
+    """Training-data DECONTAMINATION: flag every corpus document sharing at
+    least one ``n``-token gram with the eval/benchmark set (the standard
+    pretraining train-test-overlap pass; the deterministic stand-in eval
+    set is ``doc_id % benchmark_mod == 0`` — the testdata carries no
+    separate eval table).
+
+    Shape (the 100 TB design): the eval set is TINY relative to the corpus
+    (the documented assumption — eval suites are ~10⁵ grams, a sub-MB
+    broadcast), so its distinct gram hashes are collected once, sorted, and
+    broadcast with ``ray.put``; the corpus side is ONE streaming map_batches
+    scan (vectorized tokenize → rolling hash → searchsorted) with no
+    shuffle at all.  Reference analogue: the anti-join skip filter
+    (elasticsearch_utils.py:100-136) — membership of derived keys against a
+    small authoritative set, inverted to flag rather than skip."""
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t["doc_id"].to_numpy() % benchmark_mod == 0))
+        texts = pa.compute.fill_null(t["text"].combine_chunks(), "")
+        g, _ = _token_gram_hashes(texts, n)
+        return pa.table({"g": pa.array(np.unique(g), pa.uint64())})
+
+    bench_tbl = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_grams, batch_format="pyarrow", batch_size=1024)
+        .to_pandas()  # eval-set-scale (small by assumption), NOT corpus-scale
+    )
+    bench = np.unique(bench_tbl["g"].to_numpy().astype(np.uint64))
+    bench_ref = ray.put(bench)
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        Decontaminator,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n, "mod": benchmark_mod},
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 4),
+        max_restarts=0,  # ray#53727: ctor ref in the object store
+    )
+
+
+# ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 

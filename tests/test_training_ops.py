@@ -758,3 +758,36 @@ def test_sketch_prefilter_bypassed_on_small_docs(tmp_path):
     assert stats["sketch_prefilter"] is False
     assert "prefilter_survivors" not in stats
     assert len(out) > 0  # dup of doc 0 still verified on the direct path
+
+
+def test_decontaminate_planted_overlap(tmp_path):
+    """Hermetic decontamination check: doc 0 is the 'benchmark' (doc_id %
+    97 == 0 and only doc 0 qualifies), one corpus doc embeds a verbatim
+    8-token run from it, the others don't."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import decontaminate
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    texts = [
+        bench_text,  # doc 0: the benchmark doc itself
+        "prefix words then alpha bravo charlie delta echo foxtrot golf hotel trailing",  # 8-token overlap
+        "completely different content with no shared runs at all here okay",
+        "alpha bravo charlie delta echo foxtrot golf",  # only 7 tokens of the run
+        None,
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r["doc_id"]: r for r in decontaminate(str(tmp_path)).take_all()}
+    assert out[0]["is_benchmark"] == 1 and out[0]["contaminated"] == 1
+    assert out[1]["contaminated"] == 1 and out[1]["n_contaminated"] == 1
+    assert out[2]["contaminated"] == 0
+    assert out[3]["contaminated"] == 0  # 7-token run is not an 8-gram hit
+    assert out[3]["n_grams"] == 0  # 7 tokens → no 8-token window at all
+    assert out[4]["n_grams"] == 0 and out[4]["contaminated"] == 0
+    # window counts: doc 0 has 10 tokens → 3 windows; doc 1 has 12 → 5
+    assert out[0]["n_grams"] == 3
+    assert out[1]["n_grams"] == 5
