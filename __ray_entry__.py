@@ -444,10 +444,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_content_df": _q_prefix_content_df,
         "hits_total": _q_hits_total,
         # --- text analysis (training-data ops)
+        # quality_scores folds in the BPE-ish pre-token count (one pass,
+        # one registry slot); repetition_scores = the Gopher duplicate
+        # token / 2-gram filters
         "quality_scores": T.quality_scores,
+        "repetition_scores": T.repetition_scores,
         "lang_id": T.lang_id,
         "token_counts_by_lang": T.token_counts_by_lang,
-        "token_counts_bpe": T.token_counts_bpe,
         # full rolling-hash recurrence replayed by a recursive-CTE oracle
         "doc_fingerprints": T.doc_fingerprints,
         # B2/B3: 1→N parse + error guard + per-doc fallback recovery
@@ -894,14 +897,47 @@ m AS (
            length(regexp_replace(t, '[^\s]', '', 'g'))::BIGINT AS ws_chars,
            len(list_filter(regexp_split_to_array(t, '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
            len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
-                           x -> x IN ({_sql_list(STOP_SQL)})))::BIGINT AS n_stop
+                           x -> x IN ({_sql_list(STOP_SQL)})))::BIGINT AS n_stop,
+           len(regexp_extract_all(lt, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))::BIGINT
+             AS n_bpe_tokens
     FROM f
 )
-SELECT doc_id, n_chars, n_tokens, n_ws_tokens,
+SELECT doc_id, n_chars, n_tokens, n_ws_tokens, n_bpe_tokens,
        round(CASE WHEN n_tokens > 0 THEN alpha_chars::DOUBLE / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
        round(CASE WHEN n_chars > 0 THEN (n_chars - alpha_chars - ws_chars)::DOUBLE / n_chars ELSE 0.0 END, 6) AS punct_ratio,
        round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 6) AS stop_ratio
 FROM m
+""",
+        # Gopher-style duplicate-token / duplicate-2-gram filters; the
+        # oracle compares space-joined token strings, the engine 64-bit
+        # rolling hashes of the same windows
+        "repetition_scores": """
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                   '[^a-z0-9_]+'),
+                             t -> t <> '') AS l
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(l) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+agg AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd,
+               max(c)::BIGINT AS topc
+        FROM tf GROUP BY doc_id),
+g2 AS (
+  SELECT doc_id, array_to_string(l[i.i:i.i+1], ' ') AS gram
+  FROM d, unnest(range(1, greatest(length(l) - 1, 0) + 1)) i(i)
+),
+a2 AS (SELECT doc_id, count(*)::BIGINT AS n2, count(DISTINCT gram)::BIGINT AS nd2
+       FROM g2 GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n, 0)::BIGINT AS n_tokens,
+       round(CASE WHEN coalesce(a.n, 0) > 0
+                  THEN (a.n - a.nd)::DOUBLE / a.n ELSE 0.0 END, 6) AS dup_token_ratio,
+       round(CASE WHEN coalesce(a.n, 0) > 0
+                  THEN a.topc::DOUBLE / a.n ELSE 0.0 END, 6) AS top_token_ratio,
+       round(CASE WHEN coalesce(b.n2, 0) > 0
+                  THEN (b.n2 - b.nd2)::DOUBLE / b.n2 ELSE 0.0 END, 6) AS dup_2gram_ratio
+FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN a2 b USING (doc_id)
 """,
         "lang_id": f"""
 WITH f AS (
@@ -1233,12 +1269,6 @@ j AS (
 SELECT event_id, user_id, ts, view_event_id, view_ts,
        (epoch_us(ts) - epoch_us(view_ts))::BIGINT AS gap_us
 FROM j WHERE rn = 1
-""",
-        "token_counts_bpe": r"""
-SELECT doc_id,
-       len(regexp_extract_all(lower(coalesce(text, '')),
-                              ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))::BIGINT AS n_bpe_tokens
-FROM documents
 """,
         "multimodal_frames": """
 WITH f AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),

@@ -62,9 +62,10 @@ def _re_count(arr: pa.Array, pattern: str) -> np.ndarray:
 
 
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
-    """Per-doc quality features: char/token counts, avg token length,
-    punctuation ratio, stopword ratio — zero-copy Arrow batches, all counts
-    via re2 kernels (``pc.count_substring_regex``), ratios in numpy."""
+    """Per-doc quality features: char/token counts (canonical + BPE-ish
+    pre-tokens), avg token length, punctuation ratio, stopword ratio —
+    zero-copy Arrow batches, all counts via re2 kernels
+    (``pc.count_substring_regex``), ratios in numpy."""
     import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -84,6 +85,7 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
                 "n_chars": pa.array(n_chars, pa.int64()),
                 "n_tokens": pa.array(n_tokens, pa.int64()),
                 "n_ws_tokens": pa.array(n_ws_tokens, pa.int64()),
+                "n_bpe_tokens": pa.array(_re_count(low, BPE_SPLIT_RE), pa.int64()),
                 "avg_token_len": pa.array(
                     np.round(np.where(n_tokens > 0, alpha_chars / tok_div, 0.0), 6)
                 ),
@@ -1469,6 +1471,59 @@ def dedup_simhash(
     return (result, stats) if return_stats else result
 
 
+def repetition_scores(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition quality features per doc (the duplicate
+    n-gram filters of Rae et al. 2021, re-expressed token-level for
+    single-line code docs): fraction of tokens repeating an earlier token
+    (= 1 − distinct/total), the top token's share, and the fraction of
+    2-token grams repeating an earlier gram.  One vectorized tokenize pass
+    per batch; distinct counts via Arrow group-by + a batch lexsort — no
+    per-doc Python."""
+    from librecatastro_ray.functions.tokenizer import tokenize_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pa.compute.fill_null(batch["text"].combine_chunks(), "")
+        parent_idx, terms, dl = tokenize_batch(texts)
+        n_rows = len(batch)
+        n_distinct = np.zeros(n_rows, dtype=np.int64)
+        top = np.zeros(n_rows, dtype=np.int64)
+        if len(terms):
+            t = pa.table({"row": pa.array(parent_idx, pa.int64()),
+                          "term": pa.array(terms, pa.string())})
+            g = t.group_by(["row", "term"], use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            rows_g = g["row"].to_numpy()
+            cnt_g = g["count_all"].to_numpy().astype(np.int64)
+            n_distinct = np.bincount(rows_g, minlength=n_rows).astype(np.int64)
+            np.maximum.at(top, rows_g, cnt_g)
+        g2, n_win2 = _gram_hashes_from_tokens(terms, dl, 2)
+        nd2 = np.zeros(n_rows, dtype=np.int64)
+        if len(g2):
+            doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), n_win2)
+            order = np.lexsort((g2, doc_idx))
+            gs, ds_ = g2[order], doc_idx[order]
+            first = np.concatenate(
+                [[True], (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])]
+            )
+            nd2 = np.bincount(ds_[first], minlength=n_rows).astype(np.int64)
+        tok_div = np.maximum(dl, 1)
+        g2_div = np.maximum(n_win2, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(dl, pa.int64()),
+            "dup_token_ratio": pa.array(
+                np.round((dl - n_distinct) / tok_div, 6), pa.float64()),
+            "top_token_ratio": pa.array(np.round(top / tok_div, 6), pa.float64()),
+            "dup_2gram_ratio": pa.array(
+                np.round((n_win2 - nd2) / g2_div, 6), pa.float64()),
+        })
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=4096
+    )
+
+
 # ---------------------------------------------------------------------------
 # decontamination (train-vs-eval n-gram overlap)
 # ---------------------------------------------------------------------------
@@ -1477,16 +1532,16 @@ _DECON_N = 8  # the customary pretraining decontamination window (8 tokens)
 _DECON_MOD = 97  # deterministic stand-in eval set: doc_id % 97 == 0
 
 
-def _token_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Rolling n-TOKEN gram hashes per doc under the canonical tokenizer:
-    one vectorized tokenize pass, md5-based per-unique-token hashes, then a
-    polynomial fold over each n-token window.  Returns ``(gram_hashes,
-    windows_per_doc)`` — equal hash ⟺ equal token sequence (w.h.p.; the
-    SQL oracle compares the space-joined token strings exactly)."""
+def _gram_hashes_from_tokens(
+    terms: np.ndarray, dl: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling n-token gram hashes from an already-tokenized batch:
+    md5-based per-unique-token hashes, then a polynomial fold over each
+    n-token window.  Returns ``(gram_hashes, windows_per_doc)`` — equal
+    hash ⟺ equal token sequence (w.h.p.; the SQL oracles compare the
+    space-joined token strings exactly)."""
     from librecatastro_ray.functions.hashing import term_hashes
-    from librecatastro_ray.functions.tokenizer import tokenize_batch
 
-    parent_idx, terms, dl = tokenize_batch(texts)
     n_win = np.maximum(dl - (n - 1), 0)
     total = int(n_win.sum())
     if total == 0:
@@ -1499,6 +1554,14 @@ def _token_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     for k in range(n):
         g = g * np.uint64(1000003) + th[starts + k]
     return _splitmix64(g), n_win
+
+
+def _token_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """One vectorized tokenize pass + :func:`_gram_hashes_from_tokens`."""
+    from librecatastro_ray.functions.tokenizer import tokenize_batch
+
+    _parent_idx, terms, dl = tokenize_batch(texts)
+    return _gram_hashes_from_tokens(terms, dl, n)
 
 
 class Decontaminator:

@@ -791,3 +791,37 @@ def test_decontaminate_planted_overlap(tmp_path):
     # window counts: doc 0 has 10 tokens → 3 windows; doc 1 has 12 → 5
     assert out[0]["n_grams"] == 3
     assert out[1]["n_grams"] == 5
+
+
+def test_repetition_scores_known_values(tmp_path):
+    """Hand-computed Gopher-style repetition ratios."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import repetition_scores
+
+    texts = [
+        "a b a b a",   # 5 tokens, 2 distinct; top 'a'=3; 2grams: ab ba ab ba → 2 distinct of 4
+        "x y z",       # all distinct; 2grams xy yz distinct
+        "w w w w",     # 4 tokens 1 distinct; 2grams ww ww ww → 1 distinct of 3
+        "",
+        None,
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r["doc_id"]: r for r in repetition_scores(str(tmp_path)).take_all()}
+    assert out[0]["n_tokens"] == 5
+    assert out[0]["dup_token_ratio"] == round(3 / 5, 6)
+    assert out[0]["top_token_ratio"] == round(3 / 5, 6)
+    assert out[0]["dup_2gram_ratio"] == round(2 / 4, 6)
+    assert out[1]["dup_token_ratio"] == 0.0
+    assert out[1]["dup_2gram_ratio"] == 0.0
+    assert out[2]["dup_token_ratio"] == 0.75
+    assert out[2]["top_token_ratio"] == 1.0
+    assert out[2]["dup_2gram_ratio"] == round(2 / 3, 6)
+    for i in (3, 4):
+        assert out[i]["n_tokens"] == 0
+        assert out[i]["dup_token_ratio"] == 0.0
+        assert out[i]["dup_2gram_ratio"] == 0.0
