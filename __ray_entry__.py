@@ -444,12 +444,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_content_df": _q_prefix_content_df,
         "hits_total": _q_hits_total,
         # --- text analysis (training-data ops)
-        # quality_scores folds in the BPE-ish pre-token count (one pass,
-        # one registry slot); repetition_scores = the Gopher duplicate
-        # token / 2-gram filters
+        # quality_scores folds in the BPE-ish pre-token count AND the
+        # marker-word language-ID columns (ONE corpus pass, one registry
+        # slot); repetition_scores = the Gopher duplicate token / 2-gram
+        # filters; lm_perplexity = the CCNet-style bigram-LM quality score
         "quality_scores": T.quality_scores,
         "repetition_scores": T.repetition_scores,
-        "lang_id": T.lang_id,
+        "lm_perplexity": T.lm_perplexity,
         "token_counts_by_lang": T.token_counts_by_lang,
         # full rolling-hash recurrence replayed by a recursive-CTE oracle
         "doc_fingerprints": T.doc_fingerprints,
@@ -899,13 +900,27 @@ m AS (
            len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
                            x -> x IN ({_sql_list(STOP_SQL)})))::BIGINT AS n_stop,
            len(regexp_extract_all(lt, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))::BIGINT
-             AS n_bpe_tokens
+             AS n_bpe_tokens,
+           len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
+                           x -> x IN ({_sql_list(LANG_SQL["de"])})))::BIGINT AS c_de,
+           len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
+                           x -> x IN ({_sql_list(LANG_SQL["en"])})))::BIGINT AS c_en,
+           len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
+                           x -> x IN ({_sql_list(LANG_SQL["es"])})))::BIGINT AS c_es,
+           len(list_filter(regexp_extract_all(lt, '[a-z0-9_]+'),
+                           x -> x IN ({_sql_list(LANG_SQL["fr"])})))::BIGINT AS c_fr
     FROM f
 )
 SELECT doc_id, n_chars, n_tokens, n_ws_tokens, n_bpe_tokens,
        round(CASE WHEN n_tokens > 0 THEN alpha_chars::DOUBLE / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
        round(CASE WHEN n_chars > 0 THEN (n_chars - alpha_chars - ws_chars)::DOUBLE / n_chars ELSE 0.0 END, 6) AS punct_ratio,
-       round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 6) AS stop_ratio
+       round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
+       CASE WHEN c_de = 0 AND c_en = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       c_de, c_en, c_es, c_fr
 FROM m
 """,
         # Gopher-style duplicate-token / duplicate-2-gram filters; the
@@ -939,28 +954,43 @@ SELECT d.doc_id,
                   THEN (b.n2 - b.nd2)::DOUBLE / b.n2 ELSE 0.0 END, 6) AS dup_2gram_ratio
 FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN a2 b USING (doc_id)
 """,
-        "lang_id": f"""
-WITH f AS (
-    SELECT doc_id,
-           regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks
-    FROM documents
+        # add-one-smoothed bigram LM trained on the corpus, scored per doc;
+        # the oracle rebuilds the SAME model over exact token strings (the
+        # engine uses 64-bit token/pair hashes, equal w.h.p.) and writes the
+        # nll term as ln(cp+V)-ln(cb+1), the engine's exact FP form;
+        # bigram_hits is an exact-integer anchor
+        "lm_perplexity": """
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                   '[^a-z0-9_]+'),
+                             t -> t <> '') AS l
+  FROM documents
 ),
-c AS (
-    SELECT doc_id,
-           len(list_filter(toks, x -> x IN ({_sql_list(LANG_SQL["de"])})))::BIGINT AS c_de,
-           len(list_filter(toks, x -> x IN ({_sql_list(LANG_SQL["en"])})))::BIGINT AS c_en,
-           len(list_filter(toks, x -> x IN ({_sql_list(LANG_SQL["es"])})))::BIGINT AS c_es,
-           len(list_filter(toks, x -> x IN ({_sql_list(LANG_SQL["fr"])})))::BIGINT AS c_fr
-    FROM f
+tok AS (
+  SELECT doc_id, l[i.i] AS cur,
+         CASE WHEN i.i = 1 THEN '<s>' ELSE l[i.i - 1] END AS prev
+  FROM d, unnest(range(1, length(l) + 1)) i(i)
+),
+c2 AS (SELECT prev, cur, count(*)::BIGINT AS c FROM tok GROUP BY prev, cur),
+c1 AS (SELECT prev, sum(c)::BIGINT AS cp FROM c2 GROUP BY prev),
+v AS (SELECT count(DISTINCT cur)::BIGINT AS v FROM tok),
+s AS (
+  SELECT t.doc_id, b.c AS cb, p.cp AS cp
+  FROM tok t
+  JOIN c2 b ON t.prev = b.prev AND t.cur = b.cur
+  JOIN c1 p ON t.prev = p.prev
+),
+a AS (
+  SELECT doc_id, count(*)::BIGINT AS n, sum(cb)::BIGINT AS hits,
+         sum(ln(cp + (SELECT v FROM v)) - ln(cb + 1.0))::DOUBLE AS nll
+  FROM s GROUP BY doc_id
 )
-SELECT doc_id,
-       CASE WHEN c_de = 0 AND c_en = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
-            WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
-            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
-            WHEN c_es >= c_fr THEN 'es'
-            ELSE 'fr' END AS lang_pred,
-       c_de, c_en, c_es, c_fr
-FROM c
+SELECT d.doc_id,
+       coalesce(a.n, 0)::BIGINT AS n_tokens,
+       coalesce(a.hits, 0)::BIGINT AS bigram_hits,
+       round(CASE WHEN coalesce(a.n, 0) > 0 THEN a.nll / a.n ELSE 0.0 END, 6)
+         AS avg_nll
+FROM d LEFT JOIN a USING (doc_id)
 """,
         "token_counts_by_lang": """
 SELECT lang,

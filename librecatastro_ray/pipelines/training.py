@@ -62,11 +62,17 @@ def _re_count(arr: pa.Array, pattern: str) -> np.ndarray:
 
 
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
-    """Per-doc quality features: char/token counts (canonical + BPE-ish
-    pre-tokens), avg token length, punctuation ratio, stopword ratio —
-    zero-copy Arrow batches, all counts via re2 kernels
-    (``pc.count_substring_regex``), ratios in numpy."""
+    """Per-doc text features in ONE corpus pass: char/token counts
+    (canonical + BPE-ish pre-tokens), avg token length, punctuation ratio,
+    stopword ratio, plus the marker-word language-ID columns (per-language
+    marker counts, argmax ``lang_pred`` with alphabetical tiebreak, 'und'
+    when nothing matches) — zero-copy Arrow batches, all counts via re2
+    kernels (``pc.count_substring_regex``), ratios in numpy.  The lang
+    columns used to be a separate ``lang_id`` registry entry; folding them
+    here halves the corpus reads for the per-doc text-feature family."""
     import pyarrow.compute as pc
+
+    langs = sorted(LANG_MARKERS)
 
     def fn(batch: pa.Table) -> pa.Table:
         text = pc.fill_null(batch["text"].combine_chunks(), "")
@@ -79,6 +85,12 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
         n_stop = _re_count(low, _alt(STOPWORDS))
         tok_div = np.where(n_tokens > 0, n_tokens, 1)
         chr_div = np.where(n_chars > 0, n_chars, 1)
+        counts = np.stack(
+            [_re_count(low, _alt(LANG_MARKERS[lang])) for lang in langs], axis=1
+        )
+        best_idx = np.argmax(counts, axis=1)  # first (alphabetical) max
+        best = np.array(langs, dtype=object)[best_idx]
+        best[counts.max(axis=1) == 0] = "und"
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -98,6 +110,9 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
                 "stop_ratio": pa.array(
                     np.round(np.where(n_tokens > 0, n_stop / tok_div, 0.0), 6)
                 ),
+                "lang_pred": pa.array(best, pa.string()),
+                **{f"c_{lang}": pa.array(counts[:, i], pa.int64())
+                   for i, lang in enumerate(langs)},
             }
         )
 
@@ -1521,6 +1536,192 @@ def repetition_scores(sf_dir: str) -> ray.data.Dataset:
 
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", batch_size=4096
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity scoring (CCNet/KenLM-style model-based quality filter)
+# ---------------------------------------------------------------------------
+
+_LM_BOS = "<s>"  # not producible by the [a-z0-9_]+ tokenizer → collision-free
+
+
+def _lm_pair_hash(prev: np.ndarray, cur: np.ndarray) -> np.ndarray:
+    """63-bit bigram identity hash (FNV-style multiply-xor + splitmix64
+    finalize, masked into int64 so Arrow/pandas round-trips stay native);
+    equal hash ⟺ equal (prev, cur) token-string pair w.h.p. — the SQL
+    oracle compares the strings exactly."""
+    h = _splitmix64(prev.astype(np.uint64) * np.uint64(0x100000001B3)
+                    ^ cur.astype(np.uint64))
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def _lm_token_stream(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch and return ``(prev_hash, cur_hash, dl)`` over the
+    concatenated token stream, with a BOS hash prepended per doc (so every
+    token occurrence is the ``cur`` of exactly one bigram)."""
+    from librecatastro_ray.functions.hashing import term_hash, term_hashes
+    from librecatastro_ray.functions.tokenizer import tokenize_batch
+
+    _parent_idx, terms, dl = tokenize_batch(texts)
+    if len(terms) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, dl
+    cur = term_hashes(terms)  # 63-bit positive int64
+    prev = np.empty(len(cur), np.int64)
+    prev[1:] = cur[:-1]
+    off = np.cumsum(dl)
+    starts = (off - dl)[dl > 0]  # token offset of each non-empty doc
+    prev[starts] = term_hash(_LM_BOS)
+    return prev, cur, dl
+
+
+def lm_bigram_model(
+    sf_dir: str, min_count: int = 1
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Train an add-one-smoothed bigram LM over the corpus (pass 1 of the
+    CCNet/KenLM-style model-based quality filter).
+
+    Distributed shape: per-batch PARTIAL bigram counts (vectorized
+    tokenize → pair-hash → ``np.unique`` fold — token-scale rows never
+    enter the shuffle) → one ``groupby(pair).sum`` over the already-folded
+    partials → the deduped model lands on the driver, which is inherent to
+    broadcasting it.  At 100 TB the model side is bounded the standard way
+    (KenLM): raise ``min_count`` to prune the hapax tail — counts are exact
+    before pruning, so the knob only drops rows, never re-counts.
+
+    Returns ``(pairs_sorted, c2, prevs_sorted, c1, V)`` where ``c1`` is the
+    per-context total derived from the bigram table (every token occurrence
+    is a ``cur`` thanks to BOS) and ``V`` = distinct ``cur`` hashes (the
+    Laplace vocabulary size).
+    """
+    schema = pa.schema(
+        [("pair", pa.int64()), ("prev", pa.int64()),
+         ("cur", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pa.compute.fill_null(batch["text"].combine_chunks(), "")
+        prev, cur, _dl = _lm_token_stream(texts)
+        if len(cur) == 0:
+            return schema.empty_table()
+        pair = _lm_pair_hash(prev, cur)
+        uniq, idx, cnt = np.unique(pair, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "pair": pa.array(uniq, pa.int64()),
+                "prev": pa.array(prev[idx], pa.int64()),
+                "cur": pa.array(cur[idx], pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    model = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("pair")
+        .aggregate(
+            ray.data.aggregate.Sum("c", alias_name="c"),
+            # prev/cur are constant per pair hash — Max is just "pick it"
+            ray.data.aggregate.Max("prev", alias_name="prev"),
+            ray.data.aggregate.Max("cur", alias_name="cur"),
+        )
+        .to_pandas()  # model-scale (deduped bigrams), NOT corpus-scale
+    )
+    pairs = model["pair"].to_numpy().astype(np.int64)
+    c2 = model["c"].to_numpy().astype(np.int64)
+    prev = model["prev"].to_numpy().astype(np.int64)
+    V = int(pd.unique(model["cur"]).shape[0])
+    # context totals c1(prev) = Σ_cur c2(prev, cur) and V come from the
+    # UNPRUNED table (pruning only trims bigram lookup rows; the Laplace
+    # denominators stay exact corpus statistics)
+    po = np.argsort(prev, kind="stable")
+    ps = prev[po]
+    if len(ps):
+        boundaries = np.flatnonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))
+        prevs_sorted = ps[boundaries]
+        c1 = np.add.reduceat(c2[po], boundaries).astype(np.int64)
+    else:
+        prevs_sorted, c1 = ps, np.empty(0, np.int64)
+    if min_count > 1:
+        keep = c2 >= min_count
+        pairs, c2 = pairs[keep], c2[keep]
+    order = np.argsort(pairs, kind="stable")
+    pairs, c2 = pairs[order], c2[order]
+    return pairs, c2, prevs_sorted, c1, V
+
+
+class _LMScorer:
+    """Actor-pool scoring pass: the sorted model arrays are broadcast once
+    via ``ray.put`` and fetched in ``__init__``; each batch is one
+    vectorized tokenize → pair-hash → two searchsorted lookups → segmented
+    (reduceat) per-doc fold.  No Python over rows or tokens."""
+
+    def __init__(self, model_ref):
+        self.pairs, self.c2, self.prevs, self.c1, self.V = ray.get(model_ref)
+
+    @staticmethod
+    def _lookup(sorted_keys, values, keys):
+        out = np.zeros(len(keys), dtype=np.int64)
+        if len(sorted_keys) and len(keys):
+            pos = np.searchsorted(sorted_keys, keys)
+            pos[pos == len(sorted_keys)] = len(sorted_keys) - 1
+            hit = sorted_keys[pos] == keys
+            out[hit] = values[pos[hit]]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pa.compute.fill_null(batch["text"].combine_chunks(), "")
+        prev, cur, dl = _lm_token_stream(texts)
+        n_rows = len(batch)
+        hits = np.zeros(n_rows, dtype=np.int64)
+        avg_nll = np.zeros(n_rows, dtype=np.float64)
+        if len(cur):
+            cb = self._lookup(self.pairs, self.c2, _lm_pair_hash(prev, cur))
+            cp = self._lookup(self.prevs, self.c1, prev)
+            # Laplace: -ln((cb+1)/(cp+V)), written as ln(cp+V)-ln(cb+1) —
+            # the oracle uses the SAME form so FP agrees to the last ulp
+            nll = np.log(cp + float(self.V)) - np.log(cb + 1.0)
+            nz = dl > 0
+            doc_off = np.concatenate([[0], np.cumsum(dl)[:-1]])
+            sums = np.add.reduceat(nll, doc_off[nz]) if nz.any() else np.empty(0)
+            hsum = np.add.reduceat(cb, doc_off[nz]) if nz.any() else np.empty(0)
+            avg_nll[nz] = np.round(sums / dl[nz], 6)
+            hits[nz] = hsum.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(dl.astype(np.int64), pa.int64()),
+                "bigram_hits": pa.array(hits, pa.int64()),
+                "avg_nll": pa.array(avg_nll, pa.float64()),
+            }
+        )
+
+
+def lm_perplexity(sf_dir: str, min_count: int = 1) -> ray.data.Dataset:
+    """Model-based quality scoring (the CCNet recipe with an in-corpus
+    model): train an add-one-smoothed bigram LM over the corpus, then score
+    every doc's average negative log-likelihood under it.  Low ``avg_nll``
+    = fluent/common text, high = rare or noisy — the standard
+    perplexity-bucket curation signal.
+
+    Two passes, both streaming: pass 1 folds token-scale bigrams to
+    partial counts INSIDE map_batches before the (model-scale) shuffle;
+    pass 2 broadcasts the sorted model arrays once (``ray.put``) and scans
+    the corpus in an actor pool.  Output: ``(doc_id, n_tokens,
+    bigram_hits, avg_nll)`` where ``bigram_hits`` (Σ train-count along the
+    doc's bigram path) is an exact-integer anchor for the oracle.
+
+    Reference analogue: the scoring-side enrichment of
+    ``elasticsearch_utils.py`` — a corpus-derived statistic (there: DF/BM25
+    stats; here: bigram counts) broadcast to a stateless scoring scan.
+    """
+    model_ref = ray.put(lm_bigram_model(sf_dir, min_count=min_count))
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _LMScorer,
+        fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+        max_restarts=0,  # ray#53727: ctor ref in the object store
     )
 
 

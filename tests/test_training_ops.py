@@ -825,3 +825,53 @@ def test_repetition_scores_known_values(tmp_path):
         assert out[i]["n_tokens"] == 0
         assert out[i]["dup_token_ratio"] == 0.0
         assert out[i]["dup_2gram_ratio"] == 0.0
+
+
+def test_lm_perplexity_known_values(tmp_path):
+    """Hand-computed add-one bigram LM scores on a 4-doc corpus."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import lm_perplexity
+
+    texts = ["a b a", "a b", "", None]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    # c2: (<s>,a)=2 (a,b)=2 (b,a)=1; c1: <s>=2 a=2 b=1; V=|{a,b}|=2
+    out = {r["doc_id"]: r for r in lm_perplexity(str(tmp_path)).take_all()}
+    ln43 = math.log(2 + 2) - math.log(2 + 1)  # cb=2, cp=2
+    ln32 = math.log(1 + 2) - math.log(1 + 1)  # cb=1, cp=1
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["bigram_hits"] == 5
+    assert out[0]["avg_nll"] == round((2 * ln43 + ln32) / 3, 6)
+    assert out[1]["n_tokens"] == 2
+    assert out[1]["bigram_hits"] == 4
+    assert out[1]["avg_nll"] == round(ln43, 6)
+    for i in (2, 3):
+        assert out[i]["n_tokens"] == 0
+        assert out[i]["bigram_hits"] == 0
+        assert out[i]["avg_nll"] == 0.0
+
+
+def test_lm_bigram_model_min_count_prunes_lookups_only(tmp_path):
+    """min_count drops hapax bigram rows but keeps exact context totals
+    and V (the Laplace denominators are corpus statistics, not
+    model-table statistics)."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import lm_bigram_model
+
+    texts = ["a b a", "a b"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    pairs, c2, prevs, c1, V = lm_bigram_model(str(tmp_path), min_count=2)
+    assert list(c2) == [2, 2]  # (b,a)=1 pruned
+    assert sorted(c1.tolist()) == [1, 2, 2]  # contexts unpruned
+    assert V == 2
