@@ -491,14 +491,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mm_* entries, which subsume its plumbing checks)
         "multimodal_frames": T.multimodal_frames,
         # --- multimodal REAL decode (container-free PPM/WAV numpy codecs +
-        # a REAL PNG decoder: zlib inflate, CRC-verified chunk walk,
-        # per-scanline unfilter; integer features over the DECODED arrays,
-        # oracle = generation-rule replay like the IVF entries)
-        "mm_image_features": M.image_features,
+        # a REAL PNG decoder — zlib inflate, CRC-verified chunk walk,
+        # per-scanline unfilter — and a REAL baseline JPEG decoder — marker
+        # walk, canonical-Huffman entropy decode, dequant + IDCT; integer
+        # features over the DECODED arrays, oracle = generation-rule replay
+        # like the IVF entries).  mm_image_features is the case-tagged
+        # suite of all three image codecs (fmt ∈ ppm/png/jpeg)
+        "mm_image_features": M.image_feature_suite,
         "mm_audio_features": M.audio_features,
         # frame-sample over REAL decoded PCM (32-sample windows)
         "mm_audio_frames": lambda sf: M.audio_frames(sf, 32),
-        "mm_png_features": M.png_features,
         # --- nested data model (address struct + constructions list<struct>,
         # the reference's document shape, elasticsearch_utils.py:38-56)
         "nested_unnest": R.nested_unnest,
@@ -680,6 +682,57 @@ ah AS (
 SELECT d.doc_id, d.w::BIGINT AS width, d.h::BIGINT AS height,
        d.c::BIGINT AS channels, s.sum_r, s.sum_g, s.sum_b, s.sum_a, ah.ahash
 FROM d JOIN sums s USING (doc_id) JOIN ah USING (doc_id)
+"""
+
+# REAL baseline-JPEG decode replay: the synthesized corpus is even-valued
+# constant 8×8 blocks, for which the Annex-K quant DCT round-trip is
+# provably LOSSLESS (DC = (v-128)/2 survives floor(x+0.5) quant/dequant
+# bit-exactly, AC quantizes to 0) — so the rule replays directly while the
+# engine runs the full entropy decode + IDCT.  Grayscale convention matches
+# JpegFeatures: sum_r = sum_g = sum_b = Σ pixels, channels = 1; the aHash
+# threshold 64·L > ΣL is scale-invariant, so raw v stands in for v·1000.
+_MM_JPEG_SQL = """
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nbx, 2 + doc_id % 2 AS nby
+           FROM documents),
+blk AS (
+  SELECT doc_id, 2 * ((doc_id*37 + b.b*41) % 128) AS v
+  FROM d, unnest(range(0, nbx*nby)) b(b)
+),
+sums AS (SELECT doc_id, (64 * sum(v))::BIGINT AS sum_y FROM blk GROUP BY doc_id),
+lum AS (
+  SELECT d.doc_id, k.k AS k,
+         2 * ((d.doc_id*37
+               + ((((((k.k // 8) * (d.nby*8)) // 8) // 8) * d.nbx
+                   + ((((k.k % 8) * (d.nbx*8)) // 8) // 8)) * 41)) % 128) AS L
+  FROM d, unnest(range(0, 64)) k(k)
+),
+lt AS (SELECT doc_id, k, L, sum(L) OVER (PARTITION BY doc_id) AS tot FROM lum),
+ah AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN k < 63 AND 64*L > tot
+                       THEN (1::UBIGINT << k::UBIGINT) ELSE 0::UBIGINT END)::HUGEINT
+              AS BIGINT) AS ahash
+  FROM lt GROUP BY doc_id
+)
+SELECT d.doc_id, (d.nbx*8)::BIGINT AS width, (d.nby*8)::BIGINT AS height,
+       1::BIGINT AS channels, s.sum_y AS sum_r, s.sum_y AS sum_g,
+       s.sum_y AS sum_b, 0::BIGINT AS sum_a, ah.ahash
+FROM d JOIN sums s USING (doc_id) JOIN ah USING (doc_id)
+"""
+
+# the case-tagged image-decode suite: all three REAL codecs, one entry
+_MM_IMAGE_SUITE_SQL = f"""
+SELECT doc_id, 'ppm' AS fmt, width, height, 3::BIGINT AS channels,
+       sum_r, sum_g, sum_b, 0::BIGINT AS sum_a, ahash
+FROM ({_MM_IMAGE_SQL})
+UNION ALL
+SELECT doc_id, 'png' AS fmt, width, height, channels,
+       sum_r, sum_g, sum_b, sum_a, ahash
+FROM ({_MM_PNG_SQL})
+UNION ALL
+SELECT doc_id, 'jpeg' AS fmt, width, height, channels,
+       sum_r, sum_g, sum_b, sum_a, ahash
+FROM ({_MM_JPEG_SQL})
 """
 
 _MM_AUDIO_SQL = """
@@ -1040,10 +1093,9 @@ SELECT d.doc_id,
        (CASE WHEN d.doc_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT AS is_benchmark
 FROM d LEFT JOIN hits h USING (doc_id)
 """,
-        "mm_image_features": _MM_IMAGE_SQL,
+        "mm_image_features": _MM_IMAGE_SUITE_SQL,
         "mm_audio_features": _MM_AUDIO_SQL,
         "mm_audio_frames": _MM_FRAMES_SQL,
-        "mm_png_features": _MM_PNG_SQL,
         "parse_entries_fallback": """
 WITH d AS (
   SELECT doc_id, coalesce(text, '') AS t, coalesce(lang, '') AS lang,

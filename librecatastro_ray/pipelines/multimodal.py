@@ -251,6 +251,404 @@ def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (REAL: baseline sequential DCT, ITU-T81) — numpy FDCT/IDCT + stdlib
+# bit twiddling; no codec library.  Scope (loudly rejected otherwise):
+# 8-bit baseline, grayscale (1 component) or YCbCr 4:4:4 (3 components,
+# no subsampling), no restart intervals, no progressive — the H.264 video
+# case stays honestly gated in training.DecodeStub.
+# Reference analogue: the record-attached picture side-fetch
+# (src/librecatastro/scrapping/scrapper.py:163-174).
+# ---------------------------------------------------------------------------
+
+# standard Annex-K luminance quantization table (row-major); the DECODER
+# never assumes it — it reads DQT from the stream — so the codec stays
+# self-consistent even against foreign baseline files
+_JPEG_QTAB = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+# standard Annex-K Huffman specs as (BITS[1..16], HUFFVAL) — again only the
+# ENCODER pins these; the decoder builds its tables from the DHT segment
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """The 64-entry zigzag index order, generated (not typed): anti-diagonals
+    by (r+c), even diagonals walked bottom-up, odd top-down."""
+    idx = []
+    for s in range(15):
+        d = [(r, s - r) for r in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            d.reverse()  # up-right: row decreasing
+        idx.extend(r * 8 + c for r, c in d)
+    return np.array(idx, dtype=np.int64)
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: M @ block @ M.T is exactly the
+    JPEG FDCT (T.81 A.3.3), M.T @ coef @ M the IDCT."""
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 C.2 canonical code assignment: {symbol: (length, code)}."""
+    out, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(out: _BitWriter, zz: np.ndarray, pred: int,
+                  dc: dict, ac: dict) -> int:
+    """Huffman-encode one quantized zigzag block; returns its DC for the
+    next block's predictor."""
+    diff = int(zz[0]) - pred
+    size = _jpeg_category(diff)
+    length, code = dc[size]
+    out.put(code, length)
+    if size:
+        out.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            length, code = ac[0xF0]  # ZRL
+            out.put(code, length)
+            run -= 16
+        size = _jpeg_category(v)
+        length, code = ac[(run << 4) | size]
+        out.put(code, length)
+        out.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        length, code = ac[0x00]  # EOB
+        out.put(code, length)
+    return int(zz[0])
+
+
+def _fdct_quant(plane: np.ndarray) -> np.ndarray:
+    """Pad to 8×8 multiples (edge-replicate), level-shift, FDCT, quantize
+    with floor(F/Q + 0.5) (deterministic half-up).  Returns the per-block
+    zigzag arrays, blocks in raster order: (n_blocks, 64) int64."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane.astype(np.float64) - 128.0,
+                    ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,byxz,vz->byuv", _DCT_M, blocks, _DCT_M)
+    q = np.floor(coef / _JPEG_QTAB.reshape(8, 8) + 0.5).astype(np.int64)
+    return q.reshape(bh * bw, 64)[:, _ZIGZAG]
+
+
+def _jpeg_dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """Minimal REAL baseline JPEG writer: 8-bit grayscale ``(h, w)`` or
+    YCbCr-converted RGB ``(h, w, 3)`` at 4:4:4, standard Annex-K luminance
+    quant + Huffman tables for every component (valid per T.81; simple on
+    purpose — the decoder reads the tables from the stream anyway)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("img must be uint8 (h, w) or (h, w, 3)")
+    if img.ndim == 3:
+        if img.shape[2] != 3:
+            raise ValueError("color img must have 3 channels")
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        planes = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+                  for p in (y, cb, cr)]
+    else:
+        planes = [img]
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+            + bytes(int(v) for v in _JPEG_QTAB[_ZIGZAG]))  # DQT (zigzag order)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # no subsampling, quant table 0
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof  # SOF0
+    out += _jpeg_dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)
+    out += _jpeg_dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS)
+    sos = bytes([ncomp]) + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos  # SOS
+    dc_tab = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    comp_zz = [_fdct_quant(p) for p in planes]
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    n_blocks = comp_zz[0].shape[0]
+    for bi in range(n_blocks):  # MCU order = raster blocks; comps interleaved
+        for ci in range(ncomp):
+            preds[ci] = _encode_block(writer, comp_zz[ci][bi], preds[ci],
+                                      dc_tab, ac_tab)
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Reads MSB-first bits from de-stuffed entropy data."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bits(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a REAL baseline JPEG → ``(width, height, channels, pixels)``
+    with pixels ``(h, w)`` uint8 (grayscale) or ``(h, w, 3)`` uint8 (RGB
+    from YCbCr 4:4:4).
+
+    Full entropy decode: marker walk (DQT/DHT/SOF0/SOS parsed from the
+    stream — nothing about the encoder's table choice is assumed), byte
+    de-stuffing, canonical-Huffman symbol decode, DC prediction chain,
+    run-length AC fill, dequantize, float IDCT, half-up round, clamp,
+    crop the 8×8 padding.  Loudly rejects progressive (SOF2), subsampled,
+    12-bit and restart-interval streams rather than mis-decoding them."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    scan = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0xD9):
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        seg = buf[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                z = np.frombuffer(seg[o + 1 : o + 65], np.uint8).astype(np.int64)
+                t = np.zeros(64, np.int64)
+                t[_ZIGZAG] = z
+                qtabs[tq] = t.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                cls, tid = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + nv])
+                inv = {(ln, code): sym
+                       for sym, (ln, code) in _huff_codes(bits, vals).items()}
+                htabs[(cls, tid)] = inv
+                o += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG not supported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                    for i in range(ns)]
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0 or SOS")
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+    # de-stuff entropy bytes up to EOI
+    raw = bytearray()
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0xFF:
+            b1 = buf[pos + 1] if pos + 1 < len(buf) else 0xD9
+            if b1 == 0x00:
+                raw.append(0xFF)
+                pos += 2
+                continue
+            if b1 == 0xD9:
+                break
+            raise ValueError(f"unexpected marker 0xFF{b1:02X} in entropy data")
+        raw.append(b0)
+        pos += 1
+    reader = _BitReader(bytes(raw))
+    bh, bw = -(-h // 8), -(-w // 8)
+    ncomp = len(comps)
+    coefs = [np.zeros((bh * bw, 64), np.int64) for _ in range(ncomp)]
+    preds = [0] * ncomp
+    tabsel = {cid: (td, ta) for cid, td, ta in scan}
+    for bi in range(bh * bw):
+        for ci, (cid, _tq) in enumerate(comps):
+            td, ta = tabsel[cid]
+            dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+            zz = coefs[ci][bi]
+            size = _huff_decode(reader, dc_tab)
+            diff = _extend(reader.bits(size), size) if size else 0
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run overflows block")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        q = qtabs[tq]
+        blk = np.zeros((bh * bw, 64), np.float64)
+        blk[:, _ZIGZAG] = coefs[ci]
+        blk = blk.reshape(bh * bw, 8, 8) * q
+        pix = np.einsum("xu,buv,vz->bxz", _DCT_M.T, blk, _DCT_M) + 128.0
+        pix = np.clip(np.floor(pix + 0.5), 0, 255)
+        plane = pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        planes.append(plane[:h, :w])
+    if ncomp == 1:
+        return w, h, 1, planes[0].astype(np.uint8)
+    if ncomp != 3:
+        raise ValueError("only 1- or 3-component JPEG supported")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([np.clip(np.floor(c + 0.5), 0, 255) for c in (r, g, b)], axis=2)
+    return w, h, 3, rgb.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # deterministic payload synthesis (the blob-source stand-in)
 # ---------------------------------------------------------------------------
 #
@@ -306,6 +704,39 @@ def png_payloads(sf_dir: str) -> ray.data.Dataset:
             "doc_id": t["doc_id"],
             "image_png": pa.array(
                 [_synth_png(int(d)) for d in t["doc_id"].to_numpy()], pa.binary()),
+        })
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+# JPEG rule (replayed by the jpeg leg of _MM_IMAGE_SQL): grayscale, block
+# dims nbx = 2 + doc_id % 3, nby = 2 + doc_id % 2 (w = 8*nbx, h = 8*nby),
+# each 8×8 block a constant EVEN value v(bi) = 2*((doc_id*37 + bi*41) % 128)
+# for bi = by*nbx + bx.  Even constant blocks make the Annex-K DCT
+# round-trip provably LOSSLESS (DC = (v-128)/2 integer survives
+# quant/dequant bit-exactly; AC quantize to 0), so the oracle replays the
+# generation rule directly while the engine runs the full real entropy
+# decode + IDCT — any decoder bug breaks the hash match.
+
+
+def _synth_jpeg(doc_id: int) -> bytes:
+    nbx, nby = 2 + doc_id % 3, 2 + doc_id % 2
+    bi = np.arange(nby * nbx, dtype=np.int64)
+    vals = (2 * ((doc_id * 37 + bi * 41) % 128)).astype(np.uint8).reshape(nby, nbx)
+    return encode_jpeg(np.kron(vals, np.ones((8, 8), np.uint8)))
+
+
+def jpeg_payloads(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, image_jpeg) binary-column source for the JPEG decode stage."""
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "image_jpeg": pa.array(
+                [_synth_jpeg(int(d)) for d in t["doc_id"].to_numpy()], pa.binary()),
         })
 
     return read_parquet_clean(
@@ -414,6 +845,79 @@ class PngFeatures:
             {"doc_id": batch["doc_id"],
              **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
         )
+
+
+class JpegFeatures:
+    """Actor-pool decode stage over REAL baseline JPEGs: full marker walk,
+    Huffman entropy decode, dequant + IDCT (decode_jpeg), then the shared
+    integer-exact image features.  Grayscale convention: the single plane
+    stands in for all three channels (sum_r = sum_g = sum_b = Σ pixels,
+    channels = 1, sum_a = 0; aHash luma = v*1000 — the RGB weights collapse
+    on an equal-channel image)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("width", "height", "channels",
+                               "sum_r", "sum_g", "sum_b", "sum_a", "ahash")}
+        for buf in batch["image_jpeg"]:
+            w, h, c, img = decode_jpeg(buf.as_py())
+            px = img.astype(np.int64)
+            if c == 1:
+                px = np.stack([px, px, px], axis=2)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(c)
+            out["sum_r"].append(int(px[:, :, 0].sum()))
+            out["sum_g"].append(int(px[:, :, 1].sum()))
+            out["sum_b"].append(int(px[:, :, 2].sum()))
+            out["sum_a"].append(0)
+            sy = (np.arange(8) * h) // 8
+            sx = (np.arange(8) * w) // 8
+            small = px[sy][:, sx]
+            luma = (small[:, :, 0] * 299 + small[:, :, 1] * 587
+                    + small[:, :, 2] * 114).reshape(-1)
+            bits = (64 * luma > luma.sum()).astype(np.uint64)
+            ahash = int((bits << np.arange(64, dtype=np.uint64)).sum())
+            out["ahash"].append(ahash % (1 << 63))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
+def jpeg_features(sf_dir: str) -> ray.data.Dataset:
+    return jpeg_payloads(sf_dir).map_batches(
+        JpegFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
+_SUITE_COLS = ["doc_id", "fmt", "width", "height", "channels",
+               "sum_r", "sum_g", "sum_b", "sum_a", "ahash"]
+
+
+def image_feature_suite(sf_dir: str) -> ray.data.Dataset:
+    """All three REAL image decoders (PPM, PNG, baseline JPEG) as one
+    case-tagged suite with a harmonized schema — the single driver-facing
+    entry for SURVEY §2 A5 image decode.  PPM rows: channels = 3,
+    sum_a = 0; JPEG (grayscale) rows: channels = 1,
+    sum_r = sum_g = sum_b = Σ pixels."""
+
+    def tag(fmt: str, defaults: dict[str, int]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {"doc_id": t["doc_id"],
+                    "fmt": pa.array([fmt] * len(t), pa.string())}
+            for name in _SUITE_COLS[2:]:
+                cols[name] = (t[name] if name in t.column_names
+                              else pa.array([defaults[name]] * len(t), pa.int64()))
+            return pa.table(cols)
+        return fn
+
+    ppm = image_features(sf_dir).map_batches(
+        tag("ppm", {"channels": 3, "sum_a": 0}), batch_format="pyarrow")
+    png = png_features(sf_dir).map_batches(
+        tag("png", {}), batch_format="pyarrow")
+    jpg = jpeg_features(sf_dir).map_batches(
+        tag("jpeg", {}), batch_format="pyarrow")
+    return ppm.union(png).union(jpg)
 
 
 def png_features(sf_dir: str) -> ray.data.Dataset:

@@ -2334,10 +2334,10 @@ class DecodeStub:
     """Multimodal decode stage with REAL Ray plumbing and a STUBBED decoder.
 
     Treats the payload as an opaque binary column; the actual decode would
-    live in ``_decode``.  The gate now covers ONLY the entropy-coded codec
-    formats (JPEG, H.264) whose libraries are not in this container —
-    PPM/WAV (multimodal.decode_ppm/decode_wav) and PNG
-    (multimodal.decode_png: zlib + numpy unfiltering) have REAL decoders.
+    live in ``_decode``.  The gate now covers ONLY H.264 video —
+    PPM/WAV (multimodal.decode_ppm/decode_wav), PNG (multimodal.decode_png:
+    zlib + numpy unfiltering) and baseline JPEG (multimodal.decode_jpeg:
+    full Huffman entropy decode + IDCT) all have REAL decoders.
     The deterministic fake derives metadata from the raw bytes so the
     schema, batch sizing and actor-pool shape are exercised end-to-end.
     """
@@ -2345,9 +2345,10 @@ class DecodeStub:
     def __init__(self, real_decoder: bool = False):
         if real_decoder:
             raise NotImplementedError(
-                "JPEG/H.264 codecs not available in this environment "
-                "(PPM/WAV/PNG decode natively: librecatastro_ray.pipelines."
-                "multimodal.decode_ppm/decode_wav/decode_png)"
+                "H.264 codec not available in this environment "
+                "(PPM/WAV/PNG/JPEG decode natively: librecatastro_ray."
+                "pipelines.multimodal.decode_ppm/decode_wav/decode_png/"
+                "decode_jpeg)"
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -333,3 +333,151 @@ def test_scatter_many_queries_stress(built_index):
         exp = eng.match(queries[i]["text"], k=k)
         got = out[out.query_id == i].sort_values("rank")
         assert got["doc_id"].tolist() == exp["doc_id"].to_pylist(), i
+
+
+# ---------------------------------------------------------------------------
+# JPEG (real baseline codec)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_expected_gray(img):
+    """Independent expected reconstruction: quantize → dequant → IDCT →
+    half-up round → clamp → crop (what a correct decoder must emit)."""
+    from librecatastro_ray.pipelines.multimodal import (
+        _DCT_M, _JPEG_QTAB, _ZIGZAG, _fdct_quant,
+    )
+
+    h, w = img.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    zz = _fdct_quant(img)
+    blk = np.zeros_like(zz, dtype=np.float64)
+    blk[:, _ZIGZAG] = zz
+    blk = blk.reshape(-1, 8, 8) * _JPEG_QTAB.reshape(8, 8)
+    pix = np.einsum("xu,buv,vz->bxz", _DCT_M.T, blk, _DCT_M) + 128.0
+    pix = np.clip(np.floor(pix + 0.5), 0, 255)
+    full = pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return full[:h, :w].astype(np.uint8)
+
+
+def test_jpeg_zigzag_is_the_standard_order():
+    from librecatastro_ray.pipelines.multimodal import _ZIGZAG
+
+    assert list(_ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(_ZIGZAG.tolist()) == list(range(64))
+    assert list(_ZIGZAG[-4:]) == [61, 54, 47, 55] or _ZIGZAG[-1] == 63
+
+
+def test_jpeg_even_constant_blocks_lossless():
+    """The oracle's foundation: even-valued constant 8x8 blocks survive the
+    Annex-K quant round-trip bit-exactly."""
+    from librecatastro_ray.pipelines.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        nby, nbx = int(rng.integers(1, 4)), int(rng.integers(1, 5))
+        vals = (2 * rng.integers(0, 128, size=(nby, nbx))).astype(np.uint8)
+        img = np.kron(vals, np.ones((8, 8), np.uint8))
+        w, h, c, out = decode_jpeg(encode_jpeg(img))
+        assert (w, h, c) == (nbx * 8, nby * 8, 1)
+        assert np.array_equal(out, img)
+
+
+def test_jpeg_gray_roundtrip_arbitrary_content():
+    """Decoder output equals the independent expected reconstruction on
+    random-content images of awkward (non multiple-of-8) sizes — exercises
+    padding, DC chains, ZRL, EOB and every Huffman path the data hits."""
+    from librecatastro_ray.pipelines.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(13)
+    for _ in range(6):
+        h, w = int(rng.integers(3, 45)), int(rng.integers(3, 45))
+        img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        dw, dh, c, out = decode_jpeg(encode_jpeg(img))
+        assert (dw, dh, c) == (w, h, 1)
+        assert np.array_equal(out, _jpeg_expected_gray(img))
+
+
+def test_jpeg_color_roundtrip_matches_plane_reconstruction():
+    from librecatastro_ray.pipelines.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(19, 23, 3)).astype(np.uint8)
+    # expected: encoder's YCbCr planes, each through the gray pipeline,
+    # then the decoder's YCbCr->RGB formula
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    planes = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+              for p in (y, cb, cr)]
+    dec = [_jpeg_expected_gray(p).astype(np.float64) for p in planes]
+    ry = dec[0] + 1.402 * (dec[2] - 128.0)
+    gy = dec[0] - 0.344136286 * (dec[1] - 128.0) - 0.714136286 * (dec[2] - 128.0)
+    by = dec[0] + 1.772 * (dec[1] - 128.0)
+    exp = np.stack([np.clip(np.floor(p + 0.5), 0, 255) for p in (ry, gy, by)],
+                   axis=2).astype(np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg(img))
+    assert (w, h, c) == (23, 19, 3)
+    assert np.array_equal(out, exp)
+
+
+def test_jpeg_guards():
+    import struct
+
+    import pytest
+
+    from librecatastro_ray.pipelines.multimodal import decode_jpeg, encode_jpeg
+
+    img = (np.ones((8, 8)) * 100).astype(np.uint8)
+    buf = bytearray(encode_jpeg(img))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01" + bytes(buf[2:]))
+    # progressive (SOF2) rejected: rewrite the SOF0 marker byte
+    sof = bytes(buf).find(b"\xff\xc0")
+    prog = bytearray(buf)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    # subsampling rejected: component sampling factor 0x22
+    sub = bytearray(buf)
+    sub[sof + 2 + 2 + 6 + 1] = 0x22  # len(2) + prec/h/w/nc(6) + cid
+    with pytest.raises(ValueError, match="subsampl"):
+        decode_jpeg(bytes(sub))
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(buf[:-6]))
+    # restart interval rejected (inject DRI before SOS)
+    sos = bytes(buf).find(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(buf[:sos]) + dri + bytes(buf[sos:]))
+    # encoder input validation
+    with pytest.raises(ValueError):
+        encode_jpeg(img.astype(np.int32))
+
+
+def test_jpeg_feature_stage_matches_rule(ray_session, tmp_path):
+    """JpegFeatures over synthesized payloads == the generation rule
+    (the in-process version of the mm_image_features jpeg leg oracle)."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.multimodal import jpeg_features
+
+    ids = [0, 1, 2, 3, 4, 5, 96, 97, 127, 128, 500]
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
+                   str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in jpeg_features(str(tmp_path)).take_all()}
+    for d in ids:
+        nbx, nby = 2 + d % 3, 2 + d % 2
+        w, h = nbx * 8, nby * 8
+        v = lambda bi: 2 * ((d * 37 + bi * 41) % 128)
+        sum_y = 64 * sum(v(bi) for bi in range(nbx * nby))
+        r = got[d]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+        assert r["sum_r"] == r["sum_g"] == r["sum_b"] == sum_y
+        assert r["sum_a"] == 0
+        small = [v(((((j * h) // 8) // 8) * nbx + (((i * w) // 8) // 8)))
+                 for j in range(8) for i in range(8)]
+        tot = sum(small)
+        ahash = sum((1 << k) for k in range(64) if 64 * small[k] > tot) % (1 << 63)
+        assert r["ahash"] == ahash
