@@ -452,6 +452,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": T.repetition_scores,
         "lm_perplexity": T.lm_perplexity,
         "token_counts_by_lang": T.token_counts_by_lang,
+        # grouped heavy hitters: block-local top-k after the vocab-scale
+        # groupby (no skewed per-lang group task), tiny driver fold
+        "top_terms_per_lang": T.top_terms_per_lang,
         # full rolling-hash recurrence replayed by a recursive-CTE oracle
         "doc_fingerprints": T.doc_fingerprints,
         # B2/B3: 1→N parse + error guard + per-doc fallback recovery
@@ -1044,6 +1047,20 @@ SELECT d.doc_id,
        round(CASE WHEN coalesce(a.n, 0) > 0 THEN a.nll / a.n ELSE 0.0 END, 6)
          AS avg_nll
 FROM d LEFT JOIN a USING (doc_id)
+""",
+        # heavy hitters per group: count desc, term asc (pinned tiebreak)
+        "top_terms_per_lang": """
+WITH tok AS (
+  SELECT lang, unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                        '[^a-z0-9_]+'),
+                                  t -> t <> '')) AS term
+  FROM documents
+),
+c AS (SELECT lang, term, count(*)::BIGINT AS c FROM tok GROUP BY lang, term),
+r AS (SELECT lang, term, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, term) AS rank
+      FROM c)
+SELECT lang, term, c, rank::BIGINT AS rank FROM r WHERE rank <= 10
 """,
         "token_counts_by_lang": """
 SELECT lang,

@@ -1539,6 +1539,79 @@ def repetition_scores(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def top_terms_per_lang(sf_dir: str, k: int = 10) -> pa.Table:
+    """Grouped heavy hitters: the top-``k`` terms per language by total
+    corpus term frequency (ties broken by term ascending — pinned).
+
+    Distributed shape: per-batch PARTIAL (lang, term) counts (Arrow
+    group-by — token-scale rows never enter the shuffle) → one global
+    ``groupby([lang, term]).sum`` at vocabulary scale → per-BLOCK partial
+    top-k (a global top-k row beats all but < k rows everywhere, so it is
+    in its own block's local top-k — no skewed one-task-per-lang group) →
+    a driver fold over ≤ blocks × langs × k survivor rows."""
+    import pyarrow.compute as pc
+
+    from librecatastro_ray.functions.tokenizer import tokenize_batch
+
+    partial_schema = pa.schema(
+        [("lang", pa.string()), ("term", pa.string()), ("c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch["text"].combine_chunks(), "")
+        parent_idx, terms, _dl = tokenize_batch(texts)
+        if len(terms) == 0:
+            return partial_schema.empty_table()
+        langs = pc.fill_null(batch["lang"].combine_chunks(), "und")
+        t = pa.table({
+            "lang": langs.take(pa.array(parent_idx, pa.int64())),
+            "term": pa.array(terms, pa.string()),
+        })
+        g = t.group_by(["lang", "term"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"lang": g["lang"], "term": g["term"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    def _select_topk(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        term = np.asarray(t["term"].to_pylist(), dtype=object)
+        c = t["c"].to_numpy().astype(np.int64)
+        # lexsort is last-key-primary: (term asc, -c, lang) → within each
+        # lang: count desc, term asc
+        order = np.lexsort((term, -c, lang))
+        lang_s = lang[order]
+        first = np.concatenate([[True], lang_s[1:] != lang_s[:-1]])
+        grp = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(order)) - starts[grp] + 1
+        keep = rank <= k
+        return pa.table({
+            "lang": pa.array(lang_s[keep].tolist(), pa.string()),
+            "term": pa.array(term[order][keep].tolist(), pa.string()),
+            "c": pa.array(c[order][keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+        })
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.schema([("lang", pa.string()), ("term", pa.string()),
+                              ("c", pa.int64()), ("rank", pa.int64())]).empty_table()
+        return _select_topk(batch)
+
+    counts = (
+        _docs_ds(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(["lang", "term"])
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+    )
+    survivors = counts.map_batches(
+        block_topk, batch_format="pyarrow", batch_size=65536
+    ).to_arrow_refs()
+    small = pa.concat_tables([ray.get(r) for r in survivors])
+    return _select_topk(small.select(["lang", "term", "c"]))
+
+
 # ---------------------------------------------------------------------------
 # bigram-LM perplexity scoring (CCNet/KenLM-style model-based quality filter)
 # ---------------------------------------------------------------------------

@@ -875,3 +875,47 @@ def test_lm_bigram_model_min_count_prunes_lookups_only(tmp_path):
     assert list(c2) == [2, 2]  # (b,a)=1 pruned
     assert sorted(c1.tolist()) == [1, 2, 2]  # contexts unpruned
     assert V == 2
+
+
+def test_top_terms_per_lang_known_values(tmp_path):
+    """Hand-computed grouped heavy hitters with pinned tiebreak."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import top_terms_per_lang
+
+    rows = [
+        ("en", "cat dog cat bird"),
+        ("en", "dog cat"),
+        ("es", "gato gato perro"),
+        ("es", None),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(rows)), pa.int64()),
+                  "lang": pa.array([r[0] for r in rows], pa.string()),
+                  "text": pa.array([r[1] for r in rows], pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    t = top_terms_per_lang(str(tmp_path), k=2)
+    got = list(zip(t["lang"].to_pylist(), t["term"].to_pylist(),
+                   t["c"].to_pylist(), t["rank"].to_pylist()))
+    # en: cat=3 dog=2 bird=1 → top2 cat,dog; es: gato=2 perro=1
+    assert sorted(got) == sorted([
+        ("en", "cat", 3, 1), ("en", "dog", 2, 2),
+        ("es", "gato", 2, 1), ("es", "perro", 1, 2),
+    ])
+
+
+def test_top_terms_tiebreak_is_term_ascending(tmp_path):
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import top_terms_per_lang
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "lang": pa.array(["en"], pa.string()),
+                  "text": pa.array(["zz aa mm"], pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    t = top_terms_per_lang(str(tmp_path), k=2)
+    assert t["term"].to_pylist() == ["aa", "mm"]  # all count 1 → term asc
+    assert t["rank"].to_pylist() == [1, 2]
