@@ -301,13 +301,31 @@ def _q_match_suite(sf_dir: str) -> pa.Table:
 
 
 def _q_bool_variants(sf_dir: str) -> pa.Table:
-    """must_not / pure-must_not / should bool shapes as one tagged entry
-    (same consolidation rationale as _q_match_suite)."""
+    """must2 / must+keyword / must_not / pure-must_not / should bool shapes
+    as one tagged entry (same consolidation rationale as _q_match_suite)."""
     cases = [
+        ("must2", _q_bool_must(sf_dir, ["fast", "slow"], 10)),
+        ("must_lang", _q_bool_must(sf_dir, ["table"], 10, lang_eq="en")),
         ("must_not", _q_bool_must(sf_dir, ["table"], 10, must_not=["slow"])),
         # pure must_not = ES match_all minus the exclusions (constant score)
         ("not_only", _q_bool_must(sf_dir, [], 10, must_not=["table"])),
         ("should", _q_bool_must(sf_dir, ["table"], 10, should=["fast", "merge"])),
+    ]
+    return pa.concat_tables(
+        t.append_column("q", pa.array([name] * len(t), pa.string()))
+        for name, t in cases
+    )
+
+
+def _q_bool_ref_probe_suite(sf_dir: str) -> pa.Table:
+    """The reference's 3-clause dedup-probe (match + lang keyword + path
+    prefix) through BOTH serving paths — direct engine and doc-range
+    scatter-gather — as one case-tagged suite; both modes replay against
+    the SAME oracle SQL, so the entry also pins path-equivalence."""
+    cases = [
+        ("direct", _q_bool_must(
+            sf_dir, ["merge"], 10, lang_eq="en", path_prefix="docs/en/")),
+        ("scatter", _q_bool_probe_scatter(sf_dir)),
     ]
     return pa.concat_tables(
         t.append_column("q", pa.array([name] * len(t), pa.string()))
@@ -430,16 +448,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shapes and the three bool variants are case-tagged suite entries
         "match_suite": _q_match_suite,
         "match_wand": lambda sf: _q_match_wand(sf, "key value table", 10),
-        "bool_must2": lambda sf: _q_bool_must(sf, ["fast", "slow"], 10),
-        "bool_must_lang": lambda sf: _q_bool_must(sf, ["table"], 10, lang_eq="en"),
         "bool_variants": _q_bool_variants,
         # the reference's exact dedup-probe shape: prefix + two more must
-        # clauses (elasticsearch_utils.py:111-119); the scatter twin serves
-        # the same query through the doc-range scatter-gather path
-        "bool_must_ref_probe": lambda sf: _q_bool_must(
-            sf, ["merge"], 10, lang_eq="en", path_prefix="docs/en/"
-        ),
-        "bool_must_ref_probe_scatter": _q_bool_probe_scatter,
+        # clauses (elasticsearch_utils.py:111-119), served through BOTH the
+        # direct engine path and the doc-range scatter-gather path as one
+        # case-tagged suite (the two modes must agree with the same oracle)
+        "bool_ref_probe": _q_bool_ref_probe_suite,
         "prefix_keyword": _q_prefix_keyword,
         "prefix_content_df": _q_prefix_content_df,
         "hits_total": _q_hits_total,
@@ -501,9 +515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # like the IVF entries).  mm_image_features is the case-tagged
         # suite of all three image codecs (fmt ∈ ppm/png/jpeg)
         "mm_image_features": M.image_feature_suite,
-        "mm_audio_features": M.audio_features,
-        # frame-sample over REAL decoded PCM (32-sample windows)
-        "mm_audio_frames": lambda sf: M.audio_frames(sf, 32),
+        # whole-stream features + 32-sample frame stats from ONE decode
+        # pass per WAV (the fused AudioSuite stage)
+        "mm_audio_suite": lambda sf: M.audio_suite(sf, 32),
         # --- nested data model (address struct + constructions list<struct>,
         # the reference's document shape, elasticsearch_utils.py:38-56)
         "nested_unnest": R.nested_unnest,
@@ -906,9 +920,9 @@ FROM stats s
             ("from", _bm25_sql(["table", "value"], 10, offset=5)),
         ]),
         "match_wand": _bm25_sql(["key", "value", "table"], 10),
-        "bool_must2": _bm25_sql(["fast", "slow"], 10, must_all=True),
-        "bool_must_lang": _bm25_sql(["table"], 10, must_all=True, lang_eq="en"),
         "bool_variants": _suite_sql([
+            ("must2", _bm25_sql(["fast", "slow"], 10, must_all=True)),
+            ("must_lang", _bm25_sql(["table"], 10, must_all=True, lang_eq="en")),
             ("must_not", _bm25_sql(["table"], 10, must_all=True, must_not=["slow"])),
             ("not_only", f"""
 {_BASE_CTE}
@@ -920,12 +934,14 @@ SELECT rank, doc_id, score FROM (
 """),
             ("should", _bm25_sql(["table"], 10, must_all=True, should=["fast", "merge"])),
         ]),
-        "bool_must_ref_probe": _bm25_sql(
-            ["merge"], 10, must_all=True, lang_eq="en", path_prefix="docs/en/"
-        ),
-        "bool_must_ref_probe_scatter": _bm25_sql(
-            ["merge"], 10, must_all=True, lang_eq="en", path_prefix="docs/en/"
-        ),
+        "bool_ref_probe": _suite_sql([
+            ("direct", _bm25_sql(
+                ["merge"], 10, must_all=True, lang_eq="en",
+                path_prefix="docs/en/")),
+            ("scatter", _bm25_sql(
+                ["merge"], 10, must_all=True, lang_eq="en",
+                path_prefix="docs/en/")),
+        ]),
         "prefix_keyword": f"""
 {_BASE_CTE}
 SELECT doc_id, repo, path FROM ids WHERE path LIKE 'docs/en/%'
@@ -1111,8 +1127,11 @@ SELECT d.doc_id,
 FROM d LEFT JOIN hits h USING (doc_id)
 """,
         "mm_image_features": _MM_IMAGE_SUITE_SQL,
-        "mm_audio_features": _MM_AUDIO_SQL,
-        "mm_audio_frames": _MM_FRAMES_SQL,
+        "mm_audio_suite": f"""
+SELECT a.doc_id, a.sample_rate, a.n_samples, a.sum_sq, a.n_zero_cross,
+       f.n_frames, f.max_frame_energy, f.peak_frame
+FROM ({_MM_AUDIO_SQL}) a JOIN ({_MM_FRAMES_SQL}) f USING (doc_id)
+""",
         "parse_entries_fallback": """
 WITH d AS (
   SELECT doc_id, coalesce(text, '') AS t, coalesce(lang, '') AS lang,

@@ -481,3 +481,18 @@ def test_jpeg_feature_stage_matches_rule(ray_session, tmp_path):
         tot = sum(small)
         ahash = sum((1 << k) for k in range(64) if 64 * small[k] > tot) % (1 << 63)
         assert r["ahash"] == ahash
+
+
+def test_audio_suite_equals_features_join_frames():
+    """AudioSuite (one decode pass) emits exactly the union of the
+    AudioFeatures and AudioFrameSampler columns, value-identical."""
+    from librecatastro_ray.pipelines.multimodal import AudioFrameSampler, AudioSuite
+
+    t = _payload_batch(pa.table({"doc_id": pa.array([3, 44, 200], pa.int64())}))
+    suite = AudioSuite(frame_len=32)(t)
+    feats = AudioFeatures()(t)
+    frames = AudioFrameSampler(frame_len=32)(t)
+    for col in ("sample_rate", "n_samples", "sum_sq", "n_zero_cross"):
+        assert suite[col].to_pylist() == feats[col].to_pylist()
+    for col in ("n_frames", "max_frame_energy", "peak_frame"):
+        assert suite[col].to_pylist() == frames[col].to_pylist()
