@@ -23,6 +23,7 @@ CACHE_ROOT = os.environ.get("LCRAY_CACHE", "/tmp/lcray_idx_cache")
 
 # stopword / language-marker vocabularies shared with the SQL oracles
 from librecatastro_ray.pipelines.training import LANG_MARKERS as LANG_SQL  # noqa: E402
+from librecatastro_ray.pipelines.training import PII_PATTERNS  # noqa: E402
 from librecatastro_ray.pipelines.training import STOPWORDS as STOP_SQL  # noqa: E402
 
 
@@ -469,6 +470,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped heavy hitters: block-local top-k after the vocab-scale
         # groupby (no skewed per-lang group task), tiny driver fold
         "top_terms_per_lang": T.top_terms_per_lang,
+        # exact per-lang token-length quantiles via bounded-domain histogram
+        # (no distributed sort); integer-only permille thresholds
+        "length_quantiles": T.length_quantiles,
+        # per-lang deterministic hash downsample (u < rate(lang), md5 rule)
+        "stratified_sample": T.stratified_sample,
+        # sequential RE2 redaction: the PII defaults plus one pattern that
+        # actually fires on this corpus, so counts/md5 pin REAL replacement
+        # work (the synthetic text carries no natural emails/IPs/phones;
+        # real-PII behavior is pinned by unit tests on injected strings)
+        "pii_redact": lambda sf: T.regex_redact(sf, T.PII_PATTERNS + _KW_PATTERN),
         # full rolling-hash recurrence replayed by a recursive-CTE oracle
         "doc_fingerprints": T.doc_fingerprints,
         # B2/B3: 1→N parse + error guard + per-doc fallback recovery
@@ -483,6 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": T.decontaminate,
         # --- deduplication family
         "dedup_exact": T.exact_dedup,
+        # substring-level duplication profile (ExactSubstr-lite): per-doc
+        # count of 8-token windows occurring >1 time corpus-wide
+        "dedup_substring": T.dedup_substring,
         # composite curation: dedup winners ∩ quality thresholds ∩ lang filter
         "curate_corpus": T.curate_corpus,
         "dedup_ngram_jaccard": lambda sf: T.ngram_jaccard_pairs(sf, 0.62),
@@ -816,6 +830,90 @@ err AS (
 SELECT * FROM good UNION ALL SELECT * FROM err
 """
 
+# the corpus-firing extra redaction pattern for the pii_redact entry (the
+# synthetic text has no natural PII, so the PII defaults alone would pin
+# nothing but zeros — this pattern makes the replacement chain do real work)
+_KW_PATTERN: tuple[tuple[str, str, str], ...] = (
+    ("kw", r"\b(table|merge)\b", "<KW>"),
+)
+
+
+def _redact_sql(patterns) -> str:
+    """Chained regexp_replace replay of training.regex_redact: each step
+    counts matches in the CURRENT text state, then replaces — generated
+    from the SAME pattern tuple the queries() entry passes, so the two
+    sides cannot drift."""
+    ctes = ["s0 AS (SELECT doc_id, coalesce(text, '') AS s FROM documents)"]
+    count_cols: list[str] = []
+    for i, (name, pat, rep) in enumerate(patterns):
+        prev, cur = f"s{i}", f"s{i + 1}"
+        carried = ", ".join(count_cols)
+        carried = carried + ", " if carried else ""
+        ctes.append(
+            f"{cur} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(s, '{pat}'))::BIGINT AS n_{name}, "
+            f"regexp_replace(s, '{pat}', '{rep}', 'g') AS s FROM {prev})"
+        )
+        count_cols.append(f"n_{name}")
+    last = f"s{len(patterns)}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {', '.join(count_cols)}, "
+        f"length(s)::BIGINT AS redacted_len, md5(s) AS redacted_md5 FROM {last}"
+    )
+
+
+# stratified sampling replay: the same md5 integer rule; rate literals are
+# the Python float reprs so both sides compare identical doubles
+_STRATIFIED_SQL = f"""
+WITH h AS (
+  SELECT doc_id, coalesce(lang, 'und') AS lang,
+         CAST({_md5_63("'sample:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+           / 9223372036854775808.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang, round(u, 6) AS u
+FROM h
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.35
+                    WHEN 'fr' THEN 0.35 WHEN 'de' THEN 0.35
+                    WHEN 'zh' THEN 0.2 ELSE 0.25 END
+"""
+
+# exact quantiles replay: integer-only ceil rule (qp*n + 999) // 1000 over
+# the per-lang length cumsum — no float quantile function on either side
+_QUANTILES_SQL = """
+WITH t AS (SELECT coalesce(lang, 'und') AS lang,
+                  len(regexp_extract_all(lower(coalesce(text, '')),
+                                         '[a-z0-9_]+'))::BIGINT AS v
+           FROM documents),
+c AS (SELECT lang, v, count(*)::BIGINT AS n FROM t GROUP BY lang, v),
+cum AS (SELECT lang, v, sum(n) OVER (PARTITION BY lang ORDER BY v) AS cn,
+               sum(n) OVER (PARTITION BY lang) AS tot FROM c),
+q AS (SELECT unnest([250, 500, 750, 950, 1000]) AS qp)
+SELECT cum.lang, q.qp::BIGINT AS q_permille, min(cum.v)::BIGINT AS v,
+       min(cum.tot)::BIGINT AS n_docs
+FROM cum, q WHERE cum.cn >= (q.qp * cum.tot + 999) // 1000
+GROUP BY cum.lang, q.qp
+"""
+
+# substring-dedup replay: exact string grams where the engine uses rolling
+# hashes (equal w.h.p.; a collision or hash bug breaks this gate)
+_SUBSTR_SQL = """
+WITH d AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                    '[^a-z0-9_]+'),
+                              t -> t <> '') AS l
+           FROM documents),
+g AS (SELECT doc_id, array_to_string(l[i.i:i.i+7], ' ') AS gram
+      FROM d, unnest(range(1, greatest(length(l) - 7, 0) + 1)) i(i)),
+tot AS (SELECT gram, count(*)::BIGINT AS c FROM g GROUP BY gram),
+dup AS (SELECT g.doc_id, count(*)::BIGINT AS n_dup
+        FROM g JOIN tot USING (gram) WHERE tot.c > 1 GROUP BY g.doc_id)
+SELECT d.doc_id, greatest(length(d.l) - 7, 0)::BIGINT AS n_windows,
+       coalesce(dup.n_dup, 0)::BIGINT AS n_dup_windows
+FROM d LEFT JOIN dup USING (doc_id)
+"""
+
 # deterministic split: same md5 integer rule as the term-hash oracle; the
 # train threshold literal is the Python float repr of 1.0 - val - test so
 # both sides compare the identical double
@@ -1100,6 +1198,10 @@ SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
 """,
         "parse_xml_records": _XML_RECORDS_SQL,
         "train_val_split": _SPLIT_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
+        "length_quantiles": _QUANTILES_SQL,
+        "dedup_substring": _SUBSTR_SQL,
+        "pii_redact": _redact_sql(PII_PATTERNS + _KW_PATTERN),
         "concat_chunks": _CHUNKS_SQL,
         # decontamination replay: the oracle compares the space-joined token
         # strings exactly (the engine compares 64-bit rolling hashes of the

@@ -2647,3 +2647,253 @@ def curate_corpus(
 
     out = joined.map_batches(keep, batch_format="pyarrow").to_pandas()
     return pa.Table.from_pandas(out.sort_values("doc_id", ignore_index=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# round-4 corpus ops: stratified sampling, exact length quantiles,
+# substring-level dedup (ExactSubstr-lite), regex redaction (PII shape)
+# ---------------------------------------------------------------------------
+
+STRATIFIED_RATES = {"en": 0.5, "es": 0.35, "fr": 0.35, "de": 0.35, "zh": 0.2}
+STRATIFIED_DEFAULT_RATE = 0.25
+
+
+def stratified_sample(
+    sf_dir: str, rates: dict[str, float] | None = None,
+    default_rate: float = STRATIFIED_DEFAULT_RATE,
+) -> ray.data.Dataset:
+    """Deterministic per-language stratified sampling (the standard
+    language-rebalancing downsample a multilingual pretraining mix needs):
+    doc kept iff ``u < rate(lang)`` where ``u`` is the 63-bit md5 hash of
+    ``'sample:<doc_id>'`` scaled to [0, 1).  Stateless, embarrassingly
+    parallel, stable under re-runs and corpus growth (same guarantees as
+    :func:`train_val_split` — membership is a pure function of doc_id), and
+    the per-stratum rate needs no groupby: the hash IS the uniform draw, so
+    no shuffle at any scale.  Exact SQL replay via the md5 integer rule."""
+    rates = STRATIFIED_RATES if rates is None else rates
+    scale = float(1 << 63)
+
+    def md5_63(key: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(key.encode()).digest()[:8], "little"
+        ) & 0x7FFFFFFFFFFFFFFF
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        langs = pa.compute.fill_null(t["lang"].combine_chunks(), "und").to_pylist()
+        u = np.fromiter(
+            (md5_63(f"sample:{int(d)}") for d in ids),
+            dtype=np.int64, count=len(ids),
+        ) / scale
+        r = np.fromiter(
+            (rates.get(l, default_rate) for l in langs),
+            dtype=np.float64, count=len(langs),
+        )
+        keep = u < r
+        mask = pa.array(keep)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "lang": pa.compute.fill_null(
+                t["lang"].combine_chunks(), "und").filter(mask),
+            "u": pa.array(np.round(u[keep], 6), pa.float64()),
+        })
+
+    return _docs_ds(sf_dir, ["doc_id", "lang"]).map_batches(
+        pick, batch_format="pyarrow", batch_size=8192
+    )
+
+
+LENGTH_QUANTILES_PERMILLE = (250, 500, 750, 950, 1000)
+
+
+def length_quantiles(
+    sf_dir: str, permille: tuple[int, ...] = LENGTH_QUANTILES_PERMILLE
+) -> pa.Table:
+    """EXACT per-language token-length quantiles WITHOUT a distributed sort:
+    doc lengths are integers from a bounded domain, so per-batch partial
+    (lang, n_tokens) counts collapse the corpus into a histogram whose size
+    is langs × distinct-lengths (independent of corpus row count); one
+    small groupby merges the partials and the driver walks each language's
+    cumsum.  Quantile rule is INTEGER-ONLY (no float boundary flakiness):
+    q-permille value = min v with cumcount(v) ≥ ceil(q·n/1000), computed as
+    ``(q·n + 999) // 1000`` on both sides of the oracle."""
+    import pyarrow.compute as pc
+
+    from librecatastro_ray.functions.tokenizer import tokenize_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        _idx, _terms, dl = tokenize_batch(texts)
+        g = pa.table({
+            "lang": pc.fill_null(t["lang"].combine_chunks(), "und"),
+            "v": pa.array(dl.astype(np.int64), pa.int64()),
+        }).group_by(["lang", "v"], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "v": g["v"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    hist = (
+        _docs_ds(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(["lang", "v"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # histogram-scale: langs × distinct lengths, tiny
+        .sort_values(["lang", "v"], ignore_index=True)
+    )
+    out = {"lang": [], "q_permille": [], "v": [], "n_docs": []}
+    for lang, grp in hist.groupby("lang", sort=True):
+        v = grp["v"].to_numpy()
+        cum = grp["n"].to_numpy().cumsum()
+        tot = int(cum[-1])
+        for qp in permille:
+            thresh = (qp * tot + 999) // 1000
+            out["lang"].append(lang)
+            out["q_permille"].append(qp)
+            out["v"].append(int(v[np.searchsorted(cum, thresh)]))
+            out["n_docs"].append(tot)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "q_permille": pa.array(out["q_permille"], pa.int64()),
+        "v": pa.array(out["v"], pa.int64()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+    })
+
+
+def dedup_substring(
+    sf_dir: str, k: int = 8, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Substring-level duplication profile (ExactSubstr-lite, after Lee et
+    al. 2021 "Deduplicating Training Data Makes Language Models Better"):
+    for every document, how many of its ``k``-token windows occur more than
+    once in the WHOLE corpus (suffix-array-free formulation: window
+    identity via the same rolling gram hashes as :func:`decontaminate`;
+    hash equality ⟺ token-sequence equality w.h.p. — the SQL oracle
+    compares the space-joined token strings exactly, so a collision or a
+    hashing bug breaks the gate).
+
+    Distributed shape (the 100 TB design): token-scale windows never leave
+    their batch raw — stage 1 emits per-batch-distinct ``(g, doc_id, c)``
+    partials; a gram-keyed groupby sums global counts; grams with total > 1
+    are materialized (block barrier — required: the filter can empty the
+    join side, and two JoinOperators in one streaming DAG deadlock the
+    2.49 executor) and hash-joined back against the per-doc partials; the
+    per-doc base (every doc's window count, including dl < k docs with 0)
+    rides a UNION into one final doc-keyed groupby instead of an outer
+    join.  Every stage is Arrow-in/Arrow-out."""
+    import pyarrow.compute as pc
+
+    width = _shuffle_width(0, 1, num_partitions) if num_partitions else None
+
+    def partial_grams(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        g, n_win = _token_gram_hashes(texts, k)
+        did = np.repeat(t["doc_id"].to_numpy(), n_win)
+        key = g.astype(np.int64)  # wrap-cast: join/groupby key only
+        order = np.lexsort((key, did))
+        did_s, key_s = did[order], key[order]
+        first = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            first[1:] = (did_s[1:] != did_s[:-1]) | (key_s[1:] != key_s[:-1])
+        starts = np.flatnonzero(first)
+        c = np.diff(np.append(starts, len(order)))
+        return pa.table({
+            "g": pa.array(key_s[starts], pa.int64()),
+            "doc_id": pa.array(did_s[starts], pa.int64()),
+            "c": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        from librecatastro_ray.functions.tokenizer import tokenize_batch
+
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        _i, _t, dl = tokenize_batch(texts)
+        n_win = np.maximum(dl - (k - 1), 0).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_windows": pa.array(n_win, pa.int64()),
+            "n_dup_windows": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+        })
+
+    grams = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        partial_grams, batch_format="pyarrow", batch_size=2048
+    )
+    dup = (
+        grams.groupby("g")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="tot"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["tot"], 1)).select(["g"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # barrier: single-join DAG + empty-side guard
+    )
+    base = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        base_rows, batch_format="pyarrow", batch_size=2048
+    )
+    if dup.count() == 0:
+        return base
+    n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    joined = grams.join(
+        dup, "inner", width or min(16, n_cpus), on=("g",)
+    )
+    dup_per_doc = (
+        joined.groupby("doc_id")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="n_dup_windows"))
+        .map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "n_windows": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+                "n_dup_windows": t["n_dup_windows"].cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    return (
+        base.union(dup_per_doc)
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("n_windows", alias_name="n_windows"),
+            ray.data.aggregate.Sum("n_dup_windows", alias_name="n_dup_windows"),
+        )
+    )
+
+
+# default redaction patterns: the PII set every training-data pipeline
+# ships (RE2 semantics on BOTH sides: Arrow's replace_substring_regex and
+# DuckDB's regexp_* are RE2) — applied IN ORDER, counts taken on the text
+# state each pattern actually sees
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+)
+
+
+def regex_redact(
+    sf_dir: str, patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS
+) -> ray.data.Dataset:
+    """Sequential regex redaction with per-pattern match counts (the PII
+    scrubbing pass of a training-data pipeline): for each ``(name, regex,
+    replacement)`` — in order — count non-overlapping matches in the
+    CURRENT text state, then replace them, so later patterns see earlier
+    redactions (both sides of the oracle chain identically).  All counting
+    and replacement is Arrow RE2 kernels; the only per-row Python is the
+    md5 of the final redacted text (no Arrow digest kernel exists — same
+    accepted cost class as sha256_batch).  Embarrassingly parallel, no
+    shuffle."""
+    import pyarrow.compute as pc
+
+    def redact(t: pa.Table) -> pa.Table:
+        cur = pc.fill_null(t["text"].combine_chunks(), "")
+        cols: dict[str, pa.Array] = {"doc_id": t["doc_id"]}
+        for name, pat, rep in patterns:
+            cols[f"n_{name}"] = pc.count_substring_regex(cur, pat).cast(pa.int64())
+            cur = pc.replace_substring_regex(cur, pat, rep)
+        cols["redacted_len"] = pc.utf8_length(cur).cast(pa.int64())
+        cols["redacted_md5"] = pa.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in cur.to_pylist()],
+            pa.string(),
+        )
+        return pa.table(cols)
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        redact, batch_format="pyarrow", batch_size=4096
+    )

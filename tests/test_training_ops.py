@@ -919,3 +919,125 @@ def test_top_terms_tiebreak_is_term_ascending(tmp_path):
     t = top_terms_per_lang(str(tmp_path), k=2)
     assert t["term"].to_pylist() == ["aa", "mm"]  # all count 1 → term asc
     assert t["rank"].to_pylist() == [1, 2]
+
+
+def _write_docs(tmp_path, rows, lang="en", source="s0"):
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(rows, pa.string()),
+            "lang": pa.array([lang] * len(rows), pa.string()),
+            "source": pa.array([source] * len(rows), pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_stratified_sample_rate_and_stability(tmp_path):
+    """Kept docs satisfy u < rate(lang); membership of existing docs is
+    unchanged when the corpus grows (pure function of doc_id)."""
+    import hashlib as hl
+
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.training import stratified_sample
+
+    def write(n):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x"] * n, pa.string()),
+                "lang": pa.array((["en", "zh"] * n)[:n], pa.string()),
+            }),
+            str(tmp_path / "documents.parquet"),
+        )
+
+    write(40)
+    small = stratified_sample(str(tmp_path)).to_pandas()
+    for _, r in small.iterrows():
+        h = int.from_bytes(hl.md5(f"sample:{int(r.doc_id)}".encode())
+                           .digest()[:8], "little") & (2**63 - 1)
+        rate = 0.5 if r.lang == "en" else 0.2
+        assert h / 2**63 < rate
+    write(80)
+    big = stratified_sample(str(tmp_path)).to_pandas()
+    kept_small = set(small.doc_id)
+    kept_big_under40 = set(big[big.doc_id < 40].doc_id)
+    assert kept_small == kept_big_under40
+
+
+def test_length_quantiles_known_values(tmp_path):
+    from librecatastro_ray.pipelines.training import length_quantiles
+
+    # 4 docs with token lengths 1, 2, 3, 10
+    _write_docs(tmp_path, ["a", "a b", "a b c", " ".join("t" * 1 for _ in range(10))])
+    t = length_quantiles(str(tmp_path)).to_pandas().set_index("q_permille")
+    # n=4: ceil thresholds — 250→1st value(1), 500→2nd(2), 750→3rd(3),
+    # 950→ceil(3.8)=4th(10), 1000→4th(10)
+    assert t.loc[250, "v"] == 1
+    assert t.loc[500, "v"] == 2
+    assert t.loc[750, "v"] == 3
+    assert t.loc[950, "v"] == 10
+    assert t.loc[1000, "v"] == 10
+    assert (t["n_docs"] == 4).all()
+
+
+def test_dedup_substring_known_values(tmp_path):
+    from librecatastro_ray.pipelines.training import dedup_substring
+
+    w8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        w8 + " tailone",          # doc 0: windows [w1..w8], [w2..tailone]
+        "head " + w8,             # doc 1: [head..w7], [w1..w8] (shared w/ 0)
+        "short doc",              # doc 2: dl=2 < 8 → 0 windows
+        w8 + " " + w8,            # doc 3: 9 windows, [w1..w8] twice (self-dup)
+    ]
+    _write_docs(tmp_path, rows)
+    d = dedup_substring(str(tmp_path), k=8).to_pandas().set_index("doc_id").sort_index()
+    assert d.loc[2, "n_windows"] == 0 and d.loc[2, "n_dup_windows"] == 0
+    assert d.loc[0, "n_windows"] == 2
+    assert d.loc[1, "n_windows"] == 2
+    assert d.loc[3, "n_windows"] == 9
+    # the w1..w8 gram occurs in docs 0, 1 and twice in 3 → every position
+    # of it is a dup window
+    assert d.loc[0, "n_dup_windows"] == 1
+    assert d.loc[1, "n_dup_windows"] == 1
+    assert d.loc[3, "n_dup_windows"] == 2
+
+
+def test_dedup_substring_no_dups(tmp_path):
+    from librecatastro_ray.pipelines.training import dedup_substring
+
+    _write_docs(tmp_path, ["a b c d e f g h i", "j k l m n o p q r"])
+    d = dedup_substring(str(tmp_path), k=8).to_pandas()
+    assert (d.n_dup_windows == 0).all()
+    assert sorted(d.n_windows) == [2, 2]
+
+
+def test_regex_redact_real_pii(tmp_path):
+    """Injected emails / IPs / phones are counted and replaced; later
+    patterns see earlier redactions (sequential semantics)."""
+    import hashlib as hl
+
+    from librecatastro_ray.pipelines.training import PII_PATTERNS, regex_redact
+
+    rows = [
+        "contact bob@example.com or alice@corp.co.uk now",
+        "server at 10.0.0.1 and backup 192.168.1.255 port",
+        "call +34912345678 today",
+        "mixed x1@y.zz from 8.8.8.8 dial +1234567890 end",
+        "nothing to redact here",
+    ]
+    _write_docs(tmp_path, rows)
+    out = regex_redact(str(tmp_path), PII_PATTERNS).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_email"] == 2 and out.loc[0, "n_ipv4"] == 0
+    assert out.loc[1, "n_ipv4"] == 2
+    assert out.loc[2, "n_phone"] == 1
+    assert (out.loc[3, ["n_email", "n_ipv4", "n_phone"]] == 1).all()
+    assert out.loc[4, ["n_email", "n_ipv4", "n_phone"]].sum() == 0
+    expect3 = "mixed <EMAIL> from <IP> dial <PHONE> end"
+    assert out.loc[3, "redacted_len"] == len(expect3)
+    assert out.loc[3, "redacted_md5"] == hl.md5(expect3.encode()).hexdigest()
