@@ -60,6 +60,34 @@ def _engine(sf_dir: str):
     return _ENGINES[idx_dir]
 
 
+def _engine_pos(sf_dir: str):
+    """Positional twin of :func:`_engine` (IndexConfig(positions=True)) —
+    its own cache key, so the non-positional flagship index (and every
+    entry riding it) is untouched by the phrase surface."""
+    from librecatastro_ray.config import IndexConfig
+    from librecatastro_ray.pipelines.build import build_index
+    from librecatastro_ray.pipelines.query import QueryEngine
+    from librecatastro_ray.sources.docs_table import corpus_from_documents
+
+    from librecatastro_ray.state.manifest import INDEX_FORMAT_VERSION
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:v{INDEX_FORMAT_VERSION}:pos".encode()
+    ).hexdigest()[:12]
+    idx_dir = os.path.join(CACHE_ROOT, key)
+    if idx_dir not in _ENGINES:
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            build_index(
+                corpus_from_documents(sf_dir),
+                idx_dir,
+                IndexConfig(
+                    num_partitions=4, num_salts=2, hot_df_ratio=0.05, positions=True
+                ),
+            )
+        _ENGINES[idx_dir] = QueryEngine(idx_dir)
+    return _ENGINES[idx_dir]
+
+
 def _docstats_table(sf_dir: str) -> pa.Table:
     import pyarrow.dataset as pads
 
@@ -185,6 +213,51 @@ SELECT rank, doc_id, score FROM (
 """
 
 
+def _phrase_sql(words: list[str], k: int) -> str:
+    """ES ``match_phrase`` oracle: token positions via generate_subscripts,
+    phrase occurrences as position-adjacency self-joins, Lucene phrase
+    scoring (idf chained in QUERY ORDER — the engine sums the same way — ×
+    BM25 tf_norm of the phrase frequency)."""
+    joins = "\n    ".join(
+        f"JOIN posx a{i} ON a{i}.doc_id = a0.doc_id AND a{i}.p = a0.p + {i} "
+        f"AND a{i}.tok = '{w}'"
+        for i, w in enumerate(words[1:], start=1)
+    )
+    idf = " + ".join(
+        f"(SELECT ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) "
+        f"FROM df, stats s WHERE df.term = '{w}')"
+        for w in words
+    )
+    return f"""
+{_BASE_CTE},
+posx AS (
+    SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(content, '')), '[^a-z0-9_]+'),
+                             t -> t <> '') AS ts
+          FROM ids)
+),
+pf AS (
+    SELECT a0.doc_id, count(*)::BIGINT AS pf
+    FROM posx a0
+    {joins}
+    WHERE a0.tok = '{words[0]}'
+    GROUP BY a0.doc_id
+),
+scores AS (
+    SELECT pf.doc_id,
+           ({idf}) * (pf.pf * (1.2 + 1.0))
+             / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+    FROM pf JOIN dl ON dl.doc_id = pf.doc_id CROSS JOIN stats s
+)
+SELECT rank, doc_id, score FROM (
+    SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank,
+           doc_id, round(score, 6) AS score
+    FROM scores
+) WHERE rank <= {k}
+"""
+
+
 def _suite_sql(cases: list[tuple[str, str]]) -> str:
     """UNION ALL of per-case oracle SQL, each tagged with its ``q`` case
     label — the twin of the case-tagged suite entries in queries()."""
@@ -294,6 +367,10 @@ def _q_match_suite(sf_dir: str) -> pa.Table:
         ("multi", _q_match(sf_dir, "key value table part", 10)),
         ("k1", _q_match(sf_dir, "value", 1)),
         ("from", _q_match_from(sf_dir, "table value", 10, 5)),
+        # ES match_phrase over the POSITIONAL index build (own cached index;
+        # Lucene phrase scoring, oracle = position-adjacency SQL replay)
+        ("phrase", _rounded_rank(
+            _engine_pos(sf_dir).match_phrase("key value", k=10**9), 10)),
     ]
     return pa.concat_tables(
         t.append_column("q", pa.array([name] * len(t), pa.string()))
@@ -1016,6 +1093,7 @@ FROM stats s
             ("multi", _bm25_sql(["key", "value", "table", "part"], 10)),
             ("k1", _bm25_sql(["value"], 1)),
             ("from", _bm25_sql(["table", "value"], 10, offset=5)),
+            ("phrase", _phrase_sql(["key", "value"], 10)),
         ]),
         "match_wand": _bm25_sql(["key", "value", "table"], 10),
         "bool_variants": _suite_sql([

@@ -43,6 +43,15 @@ class IndexConfig:
     # is ~``hot_sample_target`` docs.
     hot_sample_target: int = 4096
 
+    # Positional indexing (Lucene IndexOptions.DOCS_AND_FREQS_AND_POSITIONS
+    # analogue): when True, every posting also stores the token positions of
+    # the term's occurrences (delta+varbyte, in a SEPARATE positions file per
+    # partition so doc-stream reads never pay for them).  Required by
+    # match_phrase; off by default — positions add ~1-2 bytes per token
+    # occurrence to the shuffle and the index, exactly Lucene's rationale
+    # for making index options an opt-in.
+    positions: bool = False
+
     # Posting blocks: postings for a term are split into fixed-size blocks of
     # ``block_size`` entries; each block stores delta+varbyte doc ids, varbyte
     # tfs and dls, the last doc id (skip pointer) and the block-max normalized

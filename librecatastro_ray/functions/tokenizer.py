@@ -75,6 +75,16 @@ def tokenize_batch(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndar
     return tokenize_batch_pattern(arr, SPLIT_PATTERN)
 
 
+def token_positions_from(parent_idx: np.ndarray, dl: np.ndarray) -> np.ndarray:
+    """Per-token position within its document (0-based token index), for a
+    tokenize result in document order: token j of row r has position j.
+    Vectorized: position = global token index − start of the row's run."""
+    if len(parent_idx) == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(dl)[:-1]))
+    return np.arange(len(parent_idx), dtype=np.int64) - starts[parent_idx]
+
+
 def term_frequencies_from(
     parent_idx: np.ndarray, terms: np.ndarray, dl: np.ndarray
 ) -> tuple[pa.Table, np.ndarray]:

@@ -42,7 +42,7 @@ import ray.data
 from librecatastro_ray.config import IndexConfig
 from librecatastro_ray.stages.doc_ids import dedup_assign_write
 from librecatastro_ray.stages.merge import merge_batch
-from librecatastro_ray.stages.postings import flat_postings
+from librecatastro_ray.stages.postings import flat_postings, flat_postings_positional
 from librecatastro_ray.state.manifest import (
     INDEX_FORMAT_VERSION,
     atomic_write_json,
@@ -217,6 +217,7 @@ def build_index(
             and mcfg.scorer == config.scorer
             and float(mcfg.k1) == float(config.k1)
             and float(mcfg.b) == float(config.b)
+            and bool(mcfg.positions) == bool(config.positions)
         ):
             report["phases_skipped"] = ["all"]
             return {"manifest": load_manifest(index_dir), "report": report}
@@ -247,7 +248,11 @@ def build_index(
     # by definition built with the canonical defaults — it must compare
     # against the default fingerprint, not match any requested strategy.
     def _analysis_fp(cfg: IndexConfig) -> str:
-        return f"{cfg.analyzer}|{cfg.scorer}|k1={cfg.k1}|b={cfg.b}"
+        # positions is part of the fingerprint: the shuffle spill and the
+        # merged blocks physically differ between the two layouts (a legacy
+        # marker without the suffix is a positions=False build by definition)
+        fp = f"{cfg.analyzer}|{cfg.scorer}|k1={cfg.k1}|b={cfg.b}"
+        return fp + ("|positions" if cfg.positions else "")
 
     analysis_fp = _analysis_fp(config)
     stats = None
@@ -299,7 +304,7 @@ def build_index(
             shutil.rmtree(shuffle_dir)
         hot_terms = estimate_hot_terms(mat_docs, n_docs, config)
         ds_postings = mat_docs.map_batches(
-            flat_postings,
+            flat_postings_positional if config.positions else flat_postings,
             fn_kwargs={
                 "num_partitions": config.num_partitions,
                 "num_salts": config.num_salts,

@@ -171,6 +171,14 @@ class QueryEngine:
         # set: hot terms are ~5% df each, so ~50 cached terms of a 600k-doc
         # partition ≈ 15M entries.  ~(360+320) MB per actor at the caps.
         self._postings_cache_cap = 15_000_000
+        # per-term decoded positions LRU (positional indexes only): flat
+        # int64 positions, one value per token occurrence — bounded like the
+        # postings cache so a phrase workload over hot terms stays warm
+        self._positions_cache: OrderedDict[
+            str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+        ] = OrderedDict()
+        self._positions_cache_size = 0
+        self._positions_cache_cap = 30_000_000
         self._contrib_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
         self._contrib_cache_size = 0
         self._contrib_cache_cap = 20_000_000
@@ -273,6 +281,86 @@ class QueryEngine:
         while self._postings_cache_size > self._postings_cache_cap and len(self._postings_cache) > 1:
             _, old = self._postings_cache.popitem(last=False)
             self._postings_cache_size -= len(old[0])
+        return result
+
+    def _decode_positions_salt(self, term: str, salt: int, tfs: np.ndarray) -> np.ndarray:
+        """Flat absolute positions for one (term, salt) posting stream, in
+        posting order (posting i owns exactly ``tfs[i]`` values — the sidecar
+        stores no lengths; tf IS the length).  One varbyte pass + a segmented
+        cumsum with per-posting restarts, the decode_blocks_table pattern."""
+        from librecatastro_ray.stages.merge import positions_file
+
+        path = positions_file(self.index_dir, self._pkey(term), salt)
+        total = int(tfs.sum())
+        if not os.path.exists(path):
+            raise ValueError(
+                f"index at {self.index_dir} has no positions sidecar — build "
+                f"with IndexConfig(positions=True) to serve phrase queries"
+            )
+        t = pq.read_table(path, filters=[("term", "==", term)])
+        gaps = varbyte_decode(_binary_payload(t["positions"])).astype(np.int64)
+        if len(gaps) != total:
+            raise ValueError(
+                f"positions stream for {term!r} has {len(gaps)} values, "
+                f"expected {total} (= sum of tf) — corrupt sidecar"
+            )
+        if total == 0:
+            return np.zeros(0, dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        cs = np.cumsum(gaps)
+        seg_base = cs[starts] - gaps[starts]
+        return cs - np.repeat(seg_base, tfs)
+
+    def load_postings_with_positions(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Full decoded postings of a term WITH positions, doc-sorted:
+        ``(doc_ids, tf, dl, pos_flat)`` where posting i's positions are the
+        ``tf[i]`` values of ``pos_flat`` starting at ``cumsum(tf)[i-1]``.
+        LRU-cached per term (phrase workloads hit the same terms)."""
+        cached = self._positions_cache.get(term)
+        if cached is not None:
+            self._positions_cache.move_to_end(term)
+            return cached
+        per_salt = []
+        for salt in self._salts(term):
+            bt = self._read_blocks(term, salt)
+            if bt is None:
+                continue
+            d, f, L = decode_blocks_table(bt)
+            p = self._decode_positions_salt(term, salt, f)
+            per_salt.append((d, f, L, p))
+        if not per_salt:
+            z = np.zeros(0, dtype=np.int64)
+            result = (z, z.copy(), z.copy(), z.copy())
+        else:
+            docs = np.concatenate([x[0] for x in per_salt])
+            tfs = np.concatenate([x[1] for x in per_salt])
+            dls = np.concatenate([x[2] for x in per_salt])
+            pos = np.concatenate([x[3] for x in per_salt])
+            if len(per_salt) > 1:
+                # salted runs are disjoint doc subsets; merge the fixed-width
+                # arrays by argsort and gather the variable-length position
+                # segments with one vectorized index build
+                order = np.argsort(docs, kind="stable")
+                seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                new_tfs = tfs[order]
+                out_starts = np.cumsum(new_tfs) - new_tfs
+                idx = (
+                    np.arange(len(pos), dtype=np.int64)
+                    - np.repeat(out_starts, new_tfs)
+                    + np.repeat(seg_starts[order], new_tfs)
+                )
+                docs, tfs, dls, pos = docs[order], new_tfs, dls[order], pos[idx]
+            result = (docs, tfs, dls, pos)
+        self._positions_cache[term] = result
+        self._positions_cache_size += len(result[3]) + len(result[0])
+        while (
+            self._positions_cache_size > self._positions_cache_cap
+            and len(self._positions_cache) > 1
+        ):
+            _, old = self._positions_cache.popitem(last=False)
+            self._positions_cache_size -= len(old[3]) + len(old[0])
         return result
 
     def _block_meta(self, term: str, salt: int):
@@ -537,6 +625,69 @@ class QueryEngine:
         if not out_docs:
             return _empty_result()
         return self._topk_table(np.concatenate(out_docs), np.concatenate(out_scores), k, offset)
+
+    def match_phrase(self, text: str, k: int = 10, offset: int = 0) -> pa.Table:
+        """ES ``match_phrase`` (slop=0): documents containing the analyzed
+        terms at CONSECUTIVE positions, scored Lucene-style — the phrase is
+        one pseudo-term with ``idf = Σ idf(df_t)`` over the query positions
+        (duplicated terms count twice, as in Lucene's PhraseQuery termStats)
+        and ``tf = phrase frequency``, through the index's pinned scorer.
+        Requires a positional index (IndexConfig(positions=True)); pinned
+        tiebreak (score desc, doc_id asc) and ES ``from`` pagination.
+
+        Fully vectorized: candidate docs = sorted posting-list intersection,
+        then per-term occurrence keys ``cand_index·2³² + (pos − i)`` are
+        intersected across the m query positions — an occurrence of the full
+        phrase at position p survives all m intersections."""
+        if not getattr(self.config, "positions", False):
+            raise ValueError(
+                f"index at {self.index_dir} was built without positions "
+                f"(IndexConfig.positions=False) — phrase queries need a "
+                f"positional index; rebuild with positions=True"
+            )
+        terms = self.analyzer.tokenize(text)
+        if not terms:
+            return _empty_result()
+        loaded = [self.load_postings_with_positions(t) for t in terms]
+        cand = loaded[0][0]
+        for docs_t, _tf, _dl, _p in loaded[1:]:
+            cand = _intersect_sorted(cand, docs_t)
+        if len(cand) == 0:
+            return _empty_result()
+        SHIFT = np.int64(1) << np.int64(32)
+        keys: np.ndarray | None = None
+        for i, (docs_t, tfs_t, _dl, pos_t) in enumerate(loaded):
+            j = np.searchsorted(docs_t, cand)
+            seg_starts = (np.cumsum(tfs_t) - tfs_t)[j]
+            seg_counts = tfs_t[j]
+            total = int(seg_counts.sum())
+            out_starts = np.cumsum(seg_counts) - seg_counts
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_starts, seg_counts)
+                + np.repeat(seg_starts, seg_counts)
+            )
+            adj = pos_t[idx] - np.int64(i)
+            kk = np.repeat(np.arange(len(cand), dtype=np.int64) * SHIFT, seg_counts) + adj
+            kk = kk[adj >= 0]  # a phrase can't start before the doc
+            keys = kk if keys is None else _intersect_sorted(keys, kk)
+            if len(keys) == 0:
+                return _empty_result()
+        pf = np.bincount((keys >> np.int64(32)).astype(np.int64), minlength=len(cand))
+        hit = pf > 0
+        if not hit.any():
+            return _empty_result()
+        docs0, _tf0, dls0, _p0 = loaded[0]
+        dl_cand = dls0[np.searchsorted(docs0, cand)]
+        # phrase idf: summed per QUERY POSITION, in query order (the oracle
+        # chains the additions in the same order, so floats match bitwise)
+        w = 0.0
+        for docs_t, _tf, _dl, _p in loaded:
+            w += float(self.scorer.idf(len(docs_t), self.n_docs))
+        scores = w * self.scorer.tf_norm(
+            pf[hit].astype(np.int64), dl_cand[hit], self.avgdl
+        )
+        return self._topk_table(cand[hit], scores, k, offset)
 
     def bool_must(
         self,

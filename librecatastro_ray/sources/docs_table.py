@@ -52,7 +52,9 @@ def _derive_batch(batch: pa.Table) -> pa.Table:
 
 
 def corpus_from_documents(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "lang", "text"],
     )

@@ -44,6 +44,14 @@ BLOCKS_SCHEMA = pa.schema(
 
 DICT_SCHEMA = pa.schema([("term", pa.string()), ("df", pa.int64()), ("cf", pa.int64())])
 
+# positions sidecar (config.positions builds only): one row per posting block,
+# aligned 1:1 with BLOCKS_SCHEMA rows; ``positions`` is the block's postings'
+# delta+varbyte position streams concatenated in posting order (per-posting
+# boundaries are implicit — posting i holds exactly tf_i values)
+POSITIONS_SCHEMA = pa.schema(
+    [("term", pa.string()), ("block_no", pa.int32()), ("positions", pa.binary())]
+)
+
 
 def blocks_file(index_dir: str, pkey: int, salt: int) -> str:
     return os.path.join(index_dir, "parts", f"blocks-{pkey:04d}-{salt:02d}.parquet")
@@ -51,6 +59,10 @@ def blocks_file(index_dir: str, pkey: int, salt: int) -> str:
 
 def dict_file(index_dir: str, pkey: int, salt: int) -> str:
     return os.path.join(index_dir, "parts", f"dict-{pkey:04d}-{salt:02d}.parquet")
+
+
+def positions_file(index_dir: str, pkey: int, salt: int) -> str:
+    return os.path.join(index_dir, "parts", f"positions-{pkey:04d}-{salt:02d}.parquet")
 
 
 def _atomic_write_parquet(path: str, table: pa.Table, row_group_size: int) -> int:
@@ -82,20 +94,23 @@ def merge_partition(
     S = config.num_salts
     pkey, salt = divmod(skey, S)
     part_dir = os.path.join(index_dir, "shuffle", f"skey={skey}")
+    with_pos = bool(getattr(config, "positions", False))
+    cols = ["term", "doc_id", "tf", "dl"] + (["pos"] if with_pos else [])
     lineage_files: list[str] = []
     if os.path.isdir(part_dir):
         dset = pads.dataset(part_dir, format="parquet")
         lineage_files = sorted(os.path.basename(f) for f in dset.files)
-        t = dset.to_table(columns=["term", "doc_id", "tf", "dl"])
+        t = dset.to_table(columns=cols)
     else:
-        t = pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
-                "tf": pa.array([], pa.int64()),
-                "dl": pa.array([], pa.int64()),
-            }
-        )
+        empty = {
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
+        }
+        if with_pos:
+            empty["pos"] = pa.array([], pa.binary())
+        t = pa.table(empty)
 
     # sort by (term, doc_id) — identical order to a direct string sort, but
     # via dictionary-encode + lex-ranked integer codes + int lexsort, which
@@ -187,11 +202,36 @@ def merge_partition(
                 "cf": pa.array(dict_cf, pa.int64()),
             }
         )
+        pos_t = None
+        if with_pos:
+            # per-block position blobs: the sorted flat table's pos cells are
+            # already delta+varbyte per posting — cut the row-order payload
+            # concatenation at block boundaries (offset arithmetic, no
+            # re-encode)
+            from librecatastro_ray.functions.codec import binary_column_payload
+            from librecatastro_ray.stages.postings import _cut_binary
+
+            pos_col = t["pos"].combine_chunks()
+            offs = np.frombuffer(
+                pos_col.buffers()[1], dtype=np.int32, count=pos_col.offset + N + 1
+            )
+            cell_lens = np.diff(offs[pos_col.offset : pos_col.offset + N + 1]).astype(np.int64)
+            payload = binary_column_payload(pos_col)
+            cum = np.concatenate([[0], np.cumsum(cell_lens)])
+            bounds = cum[np.append(block_starts, N)]
+            pos_t = pa.table(
+                {
+                    "term": pa.array(block_term, pa.string()),
+                    "block_no": pa.array(block_no, pa.int32()),
+                    "positions": _cut_binary(payload, bounds),
+                }
+            )
         n_dict_terms = len(dict_terms)
         n_block_rows = len(block_starts)
     else:
         blocks = BLOCKS_SCHEMA.empty_table()
         dict_t = DICT_SCHEMA.empty_table()
+        pos_t = POSITIONS_SCHEMA.empty_table() if with_pos else None
         n_dict_terms = 0
         n_block_rows = 0
 
@@ -199,6 +239,11 @@ def merge_partition(
     dpath = dict_file(index_dir, pkey, salt)
     nbytes = _atomic_write_parquet(bpath, blocks, config.blocks_row_group_size)
     nbytes += _atomic_write_parquet(dpath, dict_t, config.blocks_row_group_size)
+    outputs = [os.path.relpath(bpath, index_dir), os.path.relpath(dpath, index_dir)]
+    if pos_t is not None:
+        ppath = positions_file(index_dir, pkey, salt)
+        nbytes += _atomic_write_parquet(ppath, pos_t, config.blocks_row_group_size)
+        outputs.append(os.path.relpath(ppath, index_dir))
 
     with open(bpath, "rb") as fh:
         out_sha = sha256_hex(fh.read())
@@ -219,10 +264,7 @@ def merge_partition(
             "bytes": int(nbytes),
             "duration_s": round(time.monotonic() - t0, 4),
         },
-        "outputs": [
-            os.path.relpath(bpath, index_dir),
-            os.path.relpath(dpath, index_dir),
-        ],
+        "outputs": outputs,
         "output_sha256": out_sha,
     }
     atomic_write_json(checkpoint_path(index_dir, skey), entry)
