@@ -258,6 +258,27 @@ SELECT rank, doc_id, score FROM (
 """
 
 
+def _wildcard_regex(pattern: str) -> str:
+    from librecatastro_ray.pipelines.query import wildcard_regex
+
+    return wildcard_regex(pattern)
+
+
+def _expansion_sql(term_pred: str, k: int) -> str:
+    """Constant-score multi-term rewrite oracle (wildcard / fuzzy): docs
+    containing ANY dictionary term satisfying ``term_pred``, score 1.0,
+    doc_id-ascending top-k (the engine's pinned constant-score tiebreak)."""
+    return f"""
+{_BASE_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tf WHERE {term_pred})
+SELECT rank, doc_id, score FROM (
+    SELECT row_number() OVER (ORDER BY doc_id ASC) AS rank,
+           doc_id, 1.0 AS score
+    FROM hits
+) WHERE rank <= {k}
+"""
+
+
 def _suite_sql(cases: list[tuple[str, str]]) -> str:
     """UNION ALL of per-case oracle SQL, each tagged with its ``q`` case
     label — the twin of the case-tagged suite entries in queries()."""
@@ -304,6 +325,39 @@ def _q_postings_tf(sf_dir: str) -> pa.Table:
 
 def _q_term_df(sf_dir: str) -> pa.Table:
     return _engine(sf_dir).full_dictionary().select(["term", "df"])
+
+
+def _q_dictionary_df(sf_dir: str) -> pa.Table:
+    """Dictionary stats suite: the full (term, df) dictionary AND the
+    ``ta``-prefix range-scan expansion (the expand_prefix path) as one
+    case-tagged entry — the fold frees a registry slot for term_expansion
+    while keeping both engine paths oracle-gated."""
+    cases = [
+        ("all", _q_term_df(sf_dir)),
+        ("prefix_ta", _q_prefix_content_df(sf_dir)),
+    ]
+    return pa.concat_tables(
+        t.append_column("q", pa.array([name] * len(t), pa.string()))
+        for name, t in cases
+    )
+
+
+def _q_term_expansion(sf_dir: str) -> pa.Table:
+    """ES multi-term query shapes beyond prefix: ``wildcard`` (dictionary
+    regex scan) and ``fuzzy`` (vectorized banded edit-distance scan), both
+    through the Lucene CONSTANT_SCORE_REWRITE union.  The fuzzy case pins
+    the Levenshtein flavor (transpositions=False) — the one DuckDB replays
+    exactly; the OSA default is unit-test-pinned (tests/test_expansion.py)."""
+    eng = _engine(sf_dir)
+    cases = [
+        ("wildcard", _rounded_rank(eng.wildcard_content("*alue", k=10**9), 10)),
+        ("fuzzy", _rounded_rank(
+            eng.fuzzy_content("tble", k=10**9, max_edits=1, transpositions=False), 10)),
+    ]
+    return pa.concat_tables(
+        t.append_column("q", pa.array([name] * len(t), pa.string()))
+        for name, t in cases
+    )
 
 
 def _q_global_stats(sf_dir: str) -> pa.Table:
@@ -520,7 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- index build artifacts (SURVEY §2: F2 doc ids, E3 stats, E4 postings)
         "corpus_doc_stats": _q_corpus_doc_stats,
         "postings_tf": _q_postings_tf,
-        "term_df": _q_term_df,
+        "dictionary_df": _q_dictionary_df,
         "index_global_stats": _q_global_stats,
         # --- the reference query surface (SURVEY §2.Q); the four match
         # shapes and the three bool variants are case-tagged suite entries
@@ -533,7 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # case-tagged suite (the two modes must agree with the same oracle)
         "bool_ref_probe": _q_bool_ref_probe_suite,
         "prefix_keyword": _q_prefix_keyword,
-        "prefix_content_df": _q_prefix_content_df,
+        "term_expansion": _q_term_expansion,
         "hits_total": _q_hits_total,
         # --- text analysis (training-data ops)
         # quality_scores folds in the BPE-ish pre-token count AND the
@@ -1079,7 +1133,15 @@ SELECT i.doc_id, i.repo, i.path, i.lang,
 FROM ids i JOIN dl USING (doc_id)
 """,
         "postings_tf": f"{_BASE_CTE} SELECT term, doc_id, tf FROM tf",
-        "term_df": f"{_BASE_CTE} SELECT term, df FROM df",
+        "dictionary_df": _suite_sql([
+            ("all", f"{_BASE_CTE} SELECT term, df FROM df"),
+            ("prefix_ta", f"{_BASE_CTE} SELECT term, df FROM df WHERE term LIKE 'ta%'"),
+        ]),
+        "term_expansion": _suite_sql([
+            ("wildcard", _expansion_sql(
+                f"regexp_matches(term, '{_wildcard_regex('*alue')}')", 10)),
+            ("fuzzy", _expansion_sql("levenshtein(term, 'tble') <= 1", 10)),
+        ]),
         "index_global_stats": f"""
 {_BASE_CTE}
 SELECT s.n_docs, (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl,
@@ -1122,7 +1184,6 @@ SELECT rank, doc_id, score FROM (
 {_BASE_CTE}
 SELECT doc_id, repo, path FROM ids WHERE path LIKE 'docs/en/%'
 """,
-        "prefix_content_df": f"{_BASE_CTE} SELECT term, df FROM df WHERE term LIKE 'ta%'",
         "hits_total": f"""
 {_BASE_CTE}
 SELECT p.probe,

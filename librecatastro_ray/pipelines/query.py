@@ -71,6 +71,24 @@ def _prefix_upper_bound(value: str) -> str | None:
     return None
 
 
+def wildcard_regex(pattern: str) -> str:
+    """Anchored RE2 regex for an ES wildcard pattern: ``*`` = any run of
+    token characters, ``?`` = exactly one.  Dictionary terms only contain
+    ``[a-z0-9_]``, so the char class is the token alphabet.  Shared verbatim
+    with the DuckDB oracle (regexp_matches) so the two sides cannot drift."""
+    import re as _re
+
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append("[a-z0-9_]*")
+        elif ch == "?":
+            parts.append("[a-z0-9_]")
+        else:
+            parts.append(_re.escape(ch))
+    return "^" + "".join(parts) + "$"
+
+
 def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Intersection of two sorted unique int64 arrays via searchsorted —
     O(min·log max), no np.isin sort."""
@@ -880,11 +898,38 @@ class QueryEngine:
 
     def prefix_content(self, prefix: str, k: int = 10, offset: int = 0) -> pa.Table:
         """Q2 on the analyzed field: term-dictionary range scan → OR of
-        postings, constant score 1.0.  Small expanded terms not already in
-        the LRU batch into one ``term IN (...)`` read per (partition, salt)
-        file — a prefix can expand to thousands of tiny terms, and per-term
-        parquet opens would dominate."""
-        terms = self.expand_prefix(prefix)
+        postings, constant score 1.0 (Lucene CONSTANT_SCORE_REWRITE)."""
+        return self._constant_score_union(self.expand_prefix(prefix), k, offset)
+
+    def wildcard_content(self, pattern: str, k: int = 10, offset: int = 0) -> pa.Table:
+        """ES ``wildcard`` query on the analyzed field: ``*`` = any token-char
+        run, ``?`` = one token char; dictionary regex scan → constant-score
+        OR (the ES/Lucene default multi-term rewrite)."""
+        return self._constant_score_union(self.expand_wildcard(pattern), k, offset)
+
+    def fuzzy_content(
+        self,
+        term: str,
+        k: int = 10,
+        offset: int = 0,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        transpositions: bool = True,
+    ) -> pa.Table:
+        """ES ``fuzzy`` query: dictionary terms within ``max_edits`` of
+        ``term`` (OSA when ``transpositions``, Lucene's default; plain
+        Levenshtein otherwise — the SQL-oracle-replayable flavor), optional
+        exact-prefix requirement, constant-score OR rewrite."""
+        return self._constant_score_union(
+            self.expand_fuzzy(term, max_edits, prefix_length, transpositions), k, offset
+        )
+
+    def _constant_score_union(self, terms: list[str], k: int, offset: int) -> pa.Table:
+        """OR of the expanded terms' postings, constant score 1.0.  Small
+        expanded terms not already in the LRU batch into one
+        ``term IN (...)`` read per (partition, salt) file — an expansion can
+        hit thousands of tiny terms, and per-term parquet opens would
+        dominate."""
         cold_small: dict[tuple[int, int], list[str]] = {}
         via_cache: list[str] = []
         big_cut = 10 * self.config.block_size
@@ -953,6 +998,70 @@ class QueryEngine:
         result = sorted(out)
         if len(self._prefix_cache) < 10_000:
             self._prefix_cache[prefix] = result
+        return result
+
+    def _scan_dictionary(self, fn) -> list[str]:
+        """Union of ``fn(term_column) -> bool mask`` over every partition's
+        dictionary (the small index artifact — vocabulary-scale, not
+        posting-scale)."""
+        out: set[str] = set()
+        for pkey in range(self.config.num_partitions):
+            for salt in range(self.config.num_salts):
+                d = self._dict_table(pkey, salt)
+                if len(d) == 0:
+                    continue
+                mask = fn(d["term"])
+                sub = d.filter(mask) if not isinstance(mask, np.ndarray) else d.filter(
+                    pa.array(mask)
+                )
+                out.update(sub["term"].to_pylist())
+        return sorted(out)
+
+    def expand_wildcard(self, pattern: str) -> list[str]:
+        """Dictionary terms matching an ES wildcard pattern (``*``/``?``)."""
+        cached = self._prefix_cache.get(("wild", pattern))
+        if cached is not None:
+            return cached
+        regex = wildcard_regex(pattern)
+        result = self._scan_dictionary(
+            lambda col: pc.match_substring_regex(col, regex)
+        )
+        if len(self._prefix_cache) < 10_000:
+            self._prefix_cache[("wild", pattern)] = result
+        return result
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        transpositions: bool = True,
+    ) -> list[str]:
+        """Dictionary terms within ``max_edits`` (ES ``fuzzy``); vectorized
+        banded DP over each dictionary's term column at once."""
+        key = ("fuzzy", term, max_edits, prefix_length, transpositions)
+        cached = self._prefix_cache.get(key)
+        if cached is not None:
+            return cached
+        from librecatastro_ray.functions.editdist import osa_within
+
+        pre = term[:prefix_length]
+
+        def scan(col: pa.ChunkedArray) -> np.ndarray:
+            if prefix_length:
+                narrowed = pc.starts_with(col, pre).to_numpy(zero_copy_only=False)
+            else:
+                narrowed = np.ones(len(col), dtype=bool)
+            arr = col.to_numpy(zero_copy_only=False)
+            mask = np.zeros(len(col), dtype=bool)
+            idx = np.nonzero(narrowed)[0]
+            if len(idx):
+                mask[idx] = osa_within(arr[idx], term, max_edits, transpositions)
+            return mask
+
+        result = self._scan_dictionary(scan)
+        if len(self._prefix_cache) < 10_000:
+            self._prefix_cache[key] = result
         return result
 
     def count(self, text: str) -> int:
