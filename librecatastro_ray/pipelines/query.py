@@ -131,6 +131,77 @@ def decode_blocks_table(bt: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarra
     return docs, tfs, dls
 
 
+def _segment_gather(
+    flat: np.ndarray, seg_starts: np.ndarray, seg_counts: np.ndarray
+) -> np.ndarray:
+    """Concatenate variable-length segments of ``flat`` (segment i =
+    ``flat[seg_starts[i] : seg_starts[i] + seg_counts[i]]``) — one vectorized
+    index build, no per-segment Python."""
+    total = int(seg_counts.sum())
+    out_starts = np.cumsum(seg_counts) - seg_counts
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, seg_counts)
+        + np.repeat(seg_starts, seg_counts)
+    )
+    return flat[idx]
+
+
+def decode_positions_stream(positions_col, tfs: np.ndarray) -> np.ndarray:
+    """Absolute positions of a positions-sidecar blob column, posting order.
+    Posting i owns exactly ``tfs[i]`` values (the sidecar stores no lengths —
+    tf IS the length); one varbyte pass + a segmented cumsum with per-posting
+    restarts (the decode_blocks_table pattern)."""
+    gaps = varbyte_decode(_binary_payload(positions_col)).astype(np.int64)
+    total = int(tfs.sum())
+    if len(gaps) != total:
+        raise ValueError(
+            f"positions stream has {len(gaps)} values, expected {total} "
+            f"(= sum of tf) — corrupt sidecar"
+        )
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    cs = np.cumsum(gaps)
+    seg_base = cs[starts] - gaps[starts]
+    return cs - np.repeat(seg_base, tfs)
+
+
+def _phrase_stats(
+    loaded: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Phrase occurrence counts from per-term positional postings.
+
+    ``loaded[i] = (docs, tfs, dls, pos_flat)`` for query position i (docs
+    sorted; posting j owns ``tfs[j]`` positions).  Returns
+    ``(cand_docs, phrase_freq, dl)`` over the docs containing ALL terms
+    (freq may be 0 — terms present but never consecutive).  Vectorized:
+    sorted doc intersection, then per-term occurrence keys
+    ``cand_index·2³² + (pos − i)`` intersected across query positions."""
+    z = np.zeros(0, dtype=np.int64)
+    cand = loaded[0][0]
+    for docs_t, _tf, _dl, _p in loaded[1:]:
+        cand = _intersect_sorted(cand, docs_t)
+    if len(cand) == 0:
+        return z, z.copy(), z.copy()
+    SHIFT = np.int64(1) << np.int64(32)
+    keys: np.ndarray | None = None
+    for i, (docs_t, tfs_t, _dl, pos_t) in enumerate(loaded):
+        j = np.searchsorted(docs_t, cand)
+        seg_starts = (np.cumsum(tfs_t) - tfs_t)[j]
+        seg_counts = tfs_t[j]
+        adj = _segment_gather(pos_t, seg_starts, seg_counts) - np.int64(i)
+        kk = np.repeat(np.arange(len(cand), dtype=np.int64) * SHIFT, seg_counts) + adj
+        kk = kk[adj >= 0]  # a phrase can't start before the doc
+        keys = kk if keys is None else _intersect_sorted(keys, kk)
+        if len(keys) == 0:
+            return z, z.copy(), z.copy()
+    pf = np.bincount((keys >> np.int64(32)).astype(np.int64), minlength=len(cand))
+    docs0, _tf0, dls0, _p0 = loaded[0]
+    dl_cand = dls0[np.searchsorted(docs0, cand)]
+    return cand, pf.astype(np.int64), dl_cand
+
+
 class QueryEngine:
     def __init__(self, index_dir: str, analyzer=None, scorer=None):
         """``analyzer``/``scorer`` are optional EXPLICIT strategy objects
@@ -309,25 +380,13 @@ class QueryEngine:
         from librecatastro_ray.stages.merge import positions_file
 
         path = positions_file(self.index_dir, self._pkey(term), salt)
-        total = int(tfs.sum())
         if not os.path.exists(path):
             raise ValueError(
                 f"index at {self.index_dir} has no positions sidecar — build "
                 f"with IndexConfig(positions=True) to serve phrase queries"
             )
         t = pq.read_table(path, filters=[("term", "==", term)])
-        gaps = varbyte_decode(_binary_payload(t["positions"])).astype(np.int64)
-        if len(gaps) != total:
-            raise ValueError(
-                f"positions stream for {term!r} has {len(gaps)} values, "
-                f"expected {total} (= sum of tf) — corrupt sidecar"
-            )
-        if total == 0:
-            return np.zeros(0, dtype=np.int64)
-        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-        cs = np.cumsum(gaps)
-        seg_base = cs[starts] - gaps[starts]
-        return cs - np.repeat(seg_base, tfs)
+        return decode_positions_stream(t["positions"], tfs)
 
     def load_postings_with_positions(
         self, term: str
@@ -362,14 +421,8 @@ class QueryEngine:
                 # segments with one vectorized index build
                 order = np.argsort(docs, kind="stable")
                 seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-                new_tfs = tfs[order]
-                out_starts = np.cumsum(new_tfs) - new_tfs
-                idx = (
-                    np.arange(len(pos), dtype=np.int64)
-                    - np.repeat(out_starts, new_tfs)
-                    + np.repeat(seg_starts[order], new_tfs)
-                )
-                docs, tfs, dls, pos = docs[order], new_tfs, dls[order], pos[idx]
+                pos = _segment_gather(pos, seg_starts[order], tfs[order])
+                docs, tfs, dls = docs[order], tfs[order], dls[order]
             result = (docs, tfs, dls, pos)
         self._positions_cache[term] = result
         self._positions_cache_size += len(result[3]) + len(result[0])
@@ -667,44 +720,16 @@ class QueryEngine:
         if not terms:
             return _empty_result()
         loaded = [self.load_postings_with_positions(t) for t in terms]
-        cand = loaded[0][0]
-        for docs_t, _tf, _dl, _p in loaded[1:]:
-            cand = _intersect_sorted(cand, docs_t)
-        if len(cand) == 0:
-            return _empty_result()
-        SHIFT = np.int64(1) << np.int64(32)
-        keys: np.ndarray | None = None
-        for i, (docs_t, tfs_t, _dl, pos_t) in enumerate(loaded):
-            j = np.searchsorted(docs_t, cand)
-            seg_starts = (np.cumsum(tfs_t) - tfs_t)[j]
-            seg_counts = tfs_t[j]
-            total = int(seg_counts.sum())
-            out_starts = np.cumsum(seg_counts) - seg_counts
-            idx = (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(out_starts, seg_counts)
-                + np.repeat(seg_starts, seg_counts)
-            )
-            adj = pos_t[idx] - np.int64(i)
-            kk = np.repeat(np.arange(len(cand), dtype=np.int64) * SHIFT, seg_counts) + adj
-            kk = kk[adj >= 0]  # a phrase can't start before the doc
-            keys = kk if keys is None else _intersect_sorted(keys, kk)
-            if len(keys) == 0:
-                return _empty_result()
-        pf = np.bincount((keys >> np.int64(32)).astype(np.int64), minlength=len(cand))
+        cand, pf, dl_cand = _phrase_stats(loaded)
         hit = pf > 0
         if not hit.any():
             return _empty_result()
-        docs0, _tf0, dls0, _p0 = loaded[0]
-        dl_cand = dls0[np.searchsorted(docs0, cand)]
         # phrase idf: summed per QUERY POSITION, in query order (the oracle
         # chains the additions in the same order, so floats match bitwise)
         w = 0.0
         for docs_t, _tf, _dl, _p in loaded:
             w += float(self.scorer.idf(len(docs_t), self.n_docs))
-        scores = w * self.scorer.tf_norm(
-            pf[hit].astype(np.int64), dl_cand[hit], self.avgdl
-        )
+        scores = w * self.scorer.tf_norm(pf[hit], dl_cand[hit], self.avgdl)
         return self._topk_table(cand[hit], scores, k, offset)
 
     def bool_must(
@@ -1303,6 +1328,7 @@ class RangeEngine:
         # the postings, so a batch of queries decodes each term once
         self._contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._postings_pos: dict[str, tuple] = {}
         self._prefix_docs: dict[str, np.ndarray] = {}
 
     def _postings_range(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1352,6 +1378,90 @@ class RangeEngine:
         result = (docs, tfs, dls)
         self._postings[term] = result
         return result
+
+    def _postings_range_pos(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Range-restricted positional postings ``(docs, tf, dl, pos_flat)``:
+        the positions sidecar is block-aligned with the doc blocks, so the
+        SAME block-span parquet filter prunes both reads — a range task's
+        position IO is its share of the occurrences, not the term's whole
+        stream."""
+        cached = self._postings_pos.get(term)
+        if cached is not None:
+            return cached
+        from librecatastro_ray.stages.merge import positions_file
+
+        eng = self.eng
+        if not getattr(eng.config, "positions", False):
+            raise ValueError(
+                f"index at {eng.index_dir} was built without positions — "
+                f"phrase queries need IndexConfig(positions=True)"
+            )
+        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
+        for salt in eng._salts(term):
+            bm = eng._block_meta(term, salt)
+            if bm is None:
+                continue
+            prev, last, _maxtf = bm
+            wanted = np.nonzero((last >= self.lo) & (prev < self.hi - 1))[0]
+            if len(wanted) == 0:
+                continue
+            filters = [
+                ("term", "==", term),
+                ("block_no", ">=", int(wanted[0])),
+                ("block_no", "<=", int(wanted[-1])),
+            ]
+            bt = pq.read_table(blocks_file(eng.index_dir, eng._pkey(term), salt), filters=filters)
+            if len(bt) == 0:
+                continue
+            d, f, L = decode_blocks_table(bt)
+            pt = pq.read_table(
+                positions_file(eng.index_dir, eng._pkey(term), salt), filters=filters
+            )
+            pos_all = decode_positions_stream(pt["positions"], f)
+            m = (d >= self.lo) & (d < self.hi)
+            seg_starts = (np.cumsum(f) - f)[m]
+            docs_l.append(d[m])
+            tfs_l.append(f[m])
+            dls_l.append(L[m])
+            pos_l.append(_segment_gather(pos_all, seg_starts, f[m]))
+        if not docs_l:
+            z = np.zeros(0, dtype=np.int64)
+            result = (z, z.copy(), z.copy(), z.copy())
+        else:
+            docs = np.concatenate(docs_l)
+            tfs = np.concatenate(tfs_l)
+            dls = np.concatenate(dls_l)
+            pos = np.concatenate(pos_l)
+            if len(docs_l) > 1:
+                order = np.argsort(docs, kind="stable")
+                seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                pos = _segment_gather(pos, seg_starts[order], tfs[order])
+                docs, tfs, dls = docs[order], tfs[order], dls[order]
+            result = (docs, tfs, dls, pos)
+        self._postings_pos[term] = result
+        return result
+
+    def match_phrase(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Range-local phrase top-k: a doc lives wholly in one range, so
+        phrase frequencies computed here are exact; idf uses GLOBAL df, so
+        partials merge into the global top-k without re-scoring."""
+        terms = self.eng.analyzer.tokenize(text)
+        if not terms:
+            return self._EMPTY
+        loaded = [self._postings_range_pos(t) for t in terms]
+        cand, pf, dl_cand = _phrase_stats(loaded)
+        hit = pf > 0
+        if not hit.any():
+            return self._EMPTY
+        w = 0.0
+        for term in terms:
+            w += float(self.eng.scorer.idf(self.eng.term_df(term), self.eng.n_docs))
+        scores = w * self.eng.scorer.tf_norm(pf[hit], dl_cand[hit], self.eng.avgdl)
+        docs = cand[hit]
+        sel = topk_indices(scores, docs, k)
+        return docs[sel], scores[sel]
 
     def _contribution_range(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         cached = self._contrib.get(term)
@@ -1560,6 +1670,8 @@ def _eval_range_batch(
             k = q_k + q_frm
             if kind == "match":
                 docs, scores = rng.match(q.get("text") or "", min(k, k_cap))
+            elif kind == "match_phrase":
+                docs, scores = rng.match_phrase(q.get("text") or "", min(k, k_cap))
             elif kind == "bool_must":
                 docs, scores = rng.bool_must(
                     list(q.get("must_terms") or []),

@@ -132,6 +132,32 @@ def test_phrase_requires_positional_index(built_index):
         eng.match_phrase("return def")
 
 
+def test_phrase_scatter_identical_to_single_engine(pos_engine):
+    """match_phrase through the doc-range scatter-gather path (the ES shard
+    model) returns exactly the single-engine result — phrase frequencies are
+    computed whole within a doc's range and idf uses global df."""
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    queries = [
+        {"query_id": 0, "kind": "match_phrase", "text": "return def", "k": 15},
+        {"query_id": 1, "kind": "match_phrase", "text": "def def", "k": 7, "from": 3},
+        {"query_id": 2, "kind": "match_phrase", "text": "zzznope def", "k": 5},
+    ]
+    out = batch_search_scatter(pos_engine.index_dir, queries, n_ranges=4)
+    for q in queries:
+        got = out.filter(
+            np.array(out["query_id"].to_numpy() == q["query_id"])
+        ).select(["rank", "doc_id", "score"])
+        want = pos_engine.match_phrase(
+            q["text"], k=q["k"], offset=int(q.get("from") or 0)
+        )
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist(), q
+        assert got["rank"].to_pylist() == want["rank"].to_pylist(), q
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), atol=0
+        )
+
+
 def test_positions_toggle_invalidates_resume(tmp_path, corpus_small):
     """Building positions=True over a finished positions=False index must
     invalidate and rebuild (the shuffle spill and blocks physically differ),
