@@ -1192,6 +1192,94 @@ class QueryEngine:
         order = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
         return t.take(order)
 
+    def highlight(
+        self,
+        doc_ids: np.ndarray | list[int],
+        text: str,
+        window: int = 80,
+        phrase: bool = False,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+    ) -> pa.Table:
+        """ES ``highlight`` (the *plain* highlighter, which RE-ANALYZES the
+        field at fetch time — Lucene PlainHighlighter): for each result doc,
+        a snippet of ~``window`` characters centered on the FIRST match, with
+        every matching occurrence inside the snippet wrapped in the tags.
+        ``phrase`` highlights only full consecutive-phrase occurrences.
+
+        Per-row Python is deliberate and scale-safe: this runs over the
+        TOP-K hit docs (result-scale), never the corpus.  Deterministic
+        snippet rule (first match, window split evenly, cut at token
+        boundaries already guaranteed by char arithmetic) so tests can pin
+        exact strings."""
+        import re as _re
+
+        # re-analysis needs CHAR OFFSETS, which the Analyzer protocol doesn't
+        # expose — supported for the built-in analyzers by their known token
+        # patterns (a custom analyzer must ship an offsets rule first)
+        token_patterns = {
+            "code_standard_v1": r"[a-z0-9_]+",
+            "whitespace_v1": r"[^ \t\n\r\f\v]+",
+        }
+        pat = token_patterns.get(self.analyzer.analyzer_id)
+        if pat is None:
+            raise ValueError(
+                f"highlight: no char-offset rule for analyzer "
+                f"{self.analyzer.analyzer_id!r}"
+            )
+        terms = self.analyzer.tokenize(text)
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        ds = self._docstats_ds()
+        t = ds.to_table(
+            columns=["doc_id", "content"],
+            filter=pads.field("doc_id").isin(ids.tolist()),
+        )
+        content = dict(zip(t["doc_id"].to_pylist(), t["content"].to_pylist()))
+        out_snip: list[str | None] = []
+        token_re = _re.compile(pat)
+        m = len(terms)
+        for d in ids.tolist():
+            c = content.get(int(d)) or ""
+            lowered = c.lower()
+            toks = [(mt.group(), mt.start(), mt.end()) for mt in token_re.finditer(lowered)]
+            spans: list[tuple[int, int]] = []
+            if m and toks:
+                if phrase:
+                    for i in range(len(toks) - m + 1):
+                        if all(toks[i + j][0] == terms[j] for j in range(m)):
+                            spans.append((toks[i][1], toks[i + m - 1][2]))
+                else:
+                    want = set(terms)
+                    spans = [(s, e) for tok, s, e in toks if tok in want]
+            if not spans:
+                out_snip.append(None)
+                continue
+            first_s, first_e = spans[0]
+            half = max(0, (window - (first_e - first_s)) // 2)
+            lo = max(0, first_s - half)
+            hi = min(len(c), first_e + half)
+            parts: list[str] = []
+            cur = lo
+            for s, e in spans:
+                if s < lo or e > hi:
+                    continue
+                parts.append(c[cur:s])
+                parts.append(pre_tag + c[s:e] + post_tag)
+                cur = e
+            parts.append(c[cur:hi])
+            snippet = "".join(parts)
+            if lo > 0:
+                snippet = "…" + snippet
+            if hi < len(c):
+                snippet = snippet + "…"
+            out_snip.append(snippet)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "snippet": pa.array(out_snip, pa.string()),
+            }
+        )
+
 
 QUERY_INPUT_SCHEMA = pa.schema(
     [
