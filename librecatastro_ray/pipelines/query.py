@@ -434,6 +434,69 @@ class QueryEngine:
             self._positions_cache_size -= len(old[3]) + len(old[0])
         return result
 
+    def _positional_for_docs(
+        self, term: str, docs_sel: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Positional postings for exactly the SELECTED docs of a term —
+        reads only the posting blocks containing them (``block_no IN`` per
+        salt, against the block-max skip metadata), so a phrase query with
+        one hot term never decodes the hot term's full position stream (the
+        positions analogue of WAND's block skipping).  Returns
+        ``(docs, tf, dl, pos_flat)`` restricted to ``docs_sel`` (doc-sorted;
+        ``docs ⊆ docs_sel``)."""
+        from librecatastro_ray.stages.merge import positions_file
+
+        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
+        for salt in self._salts(term):
+            bm = self._block_meta(term, salt)
+            if bm is None:
+                continue
+            _prev, last, _maxtf = bm
+            bi = np.searchsorted(last, docs_sel)  # first block whose last >= doc
+            need = np.unique(bi[bi < len(last)])
+            if len(need) == 0:
+                continue
+            filters = [
+                ("term", "==", term),
+                ("block_no", "in", [int(x) for x in need]),
+            ]
+            bt = pq.read_table(
+                blocks_file(self.index_dir, self._pkey(term), salt), filters=filters
+            )
+            if len(bt) == 0:
+                continue
+            d, f, L = decode_blocks_table(bt)
+            ppath = positions_file(self.index_dir, self._pkey(term), salt)
+            if not os.path.exists(ppath):
+                raise ValueError(
+                    f"index at {self.index_dir} has no positions sidecar — "
+                    f"build with IndexConfig(positions=True)"
+                )
+            pos_all = decode_positions_stream(
+                pq.read_table(ppath, filters=filters)["positions"], f
+            )
+            m = _in_sorted(d, docs_sel)
+            if not m.any():
+                continue
+            seg_starts = (np.cumsum(f) - f)[m]
+            docs_l.append(d[m])
+            tfs_l.append(f[m])
+            dls_l.append(L[m])
+            pos_l.append(_segment_gather(pos_all, seg_starts, f[m]))
+        if not docs_l:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy(), z.copy()
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        pos = np.concatenate(pos_l)
+        if len(docs_l) > 1:
+            order = np.argsort(docs, kind="stable")
+            seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            pos = _segment_gather(pos, seg_starts[order], tfs[order])
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+        return docs, tfs, dls, pos
+
     def _block_meta(self, term: str, salt: int):
         """(prev_last, last, max_tfnorm) int64/int64/float64 arrays for one
         (term, salt) posting stream, block order — read WITHOUT the encoded
@@ -719,16 +782,34 @@ class QueryEngine:
         terms = self.analyzer.tokenize(text)
         if not terms:
             return _empty_result()
-        loaded = [self.load_postings_with_positions(t) for t in terms]
+        # phase 1: candidate docs from the positions-FREE postings (LRU-shared
+        # with match/bool queries) — no position byte is read before the
+        # conjunctive intersection has shrunk the doc set
+        post = [self.load_postings(t) for t in terms]
+        cand = post[0][0]
+        for docs_t, _tf, _dl in post[1:]:
+            cand = _intersect_sorted(cand, docs_t)
+        if len(cand) == 0:
+            return _empty_result()
+        # phase 2: positions, pruned to candidate blocks per term unless the
+        # term's full positions are already cached (or the candidates cover
+        # most of its postings, where pruning buys nothing)
+        loaded = []
+        for term, (docs_t, _tf, _dl) in zip(terms, post):
+            if term in self._positions_cache or 4 * len(cand) >= len(docs_t):
+                loaded.append(self.load_postings_with_positions(term))
+            else:
+                loaded.append(self._positional_for_docs(term, cand))
         cand, pf, dl_cand = _phrase_stats(loaded)
         hit = pf > 0
         if not hit.any():
             return _empty_result()
         # phrase idf: summed per QUERY POSITION, in query order (the oracle
-        # chains the additions in the same order, so floats match bitwise)
+        # chains the additions in the same order, so floats match bitwise);
+        # df from the dictionary (global), independent of the pruned loads
         w = 0.0
-        for docs_t, _tf, _dl, _p in loaded:
-            w += float(self.scorer.idf(len(docs_t), self.n_docs))
+        for term in terms:
+            w += float(self.scorer.idf(self.term_df(term), self.n_docs))
         scores = w * self.scorer.tf_norm(pf[hit], dl_cand[hit], self.avgdl)
         return self._topk_table(cand[hit], scores, k, offset)
 

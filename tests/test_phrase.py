@@ -132,6 +132,43 @@ def test_phrase_requires_positional_index(built_index):
         eng.match_phrase("return def")
 
 
+def test_positional_for_docs_equals_full_load(pos_engine, doc_tokens):
+    """The candidate-block-pruned position read returns exactly the full
+    load restricted to the selection — for a salted hot term and a scattered
+    doc subset (so multiple non-adjacent blocks are hit)."""
+    term = sorted(pos_engine.hot)[0]
+    docs, tfs, dls, pos = pos_engine.load_postings_with_positions(term)
+    assert len(docs) > 8
+    sel = docs[:: max(1, len(docs) // 7)]  # scattered subset
+    d2, f2, l2, p2 = pos_engine._positional_for_docs(term, sel)
+    assert d2.tolist() == sel.tolist()
+    keep = np.isin(docs, sel)
+    assert f2.tolist() == tfs[keep].tolist()
+    assert l2.tolist() == dls[keep].tolist()
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    want_pos = np.concatenate(
+        [pos[bounds[i] : bounds[i + 1]] for i in np.nonzero(keep)[0]]
+    )
+    assert p2.tolist() == want_pos.tolist()
+    # and docs absent from the term's postings are simply not returned
+    d3, f3, _l3, _p3 = pos_engine._positional_for_docs(
+        term, np.array([docs[0], 10**9], dtype=np.int64)
+    )
+    assert d3.tolist() == [int(docs[0])]
+
+
+def test_phrase_pruned_and_cached_paths_agree(pos_index):
+    """A fresh engine (pruned candidate-block reads) and a warmed engine
+    (full cached position loads) return identical phrase results."""
+    fresh = QueryEngine(pos_index)
+    warmed = QueryEngine(pos_index)
+    for t in ["return", "def"]:
+        warmed.load_postings_with_positions(t)
+    a = fresh.match_phrase("return def", k=10**9)
+    b = warmed.match_phrase("return def", k=10**9)
+    assert a.equals(b)
+
+
 def test_phrase_scatter_identical_to_single_engine(pos_engine):
     """match_phrase through the doc-range scatter-gather path (the ES shard
     model) returns exactly the single-engine result — phrase frequencies are
