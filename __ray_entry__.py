@@ -60,6 +60,38 @@ def _engine(sf_dir: str):
     return _ENGINES[idx_dir]
 
 
+def _engine_del(sf_dir: str):
+    """Engine over an index with the 'de'-language docs TOMBSTONED
+    (delete-by-id lifecycle) — its own cached build; the shared flagship
+    index is never mutated.  Deletion is applied once (idempotent)."""
+    from librecatastro_ray.config import IndexConfig
+    from librecatastro_ray.pipelines.build import build_index
+    from librecatastro_ray.pipelines.query import QueryEngine
+    from librecatastro_ray.sources.docs_table import corpus_from_documents
+    from librecatastro_ray.state.manifest import (
+        INDEX_FORMAT_VERSION,
+        delete_docs,
+        load_deleted,
+    )
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:v{INDEX_FORMAT_VERSION}:del".encode()
+    ).hexdigest()[:12]
+    idx_dir = os.path.join(CACHE_ROOT, key)
+    if idx_dir not in _ENGINES:
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            build_index(
+                corpus_from_documents(sf_dir),
+                idx_dir,
+                IndexConfig(num_partitions=4, num_salts=2, hot_df_ratio=0.05),
+            )
+        if len(load_deleted(idx_dir)) == 0:
+            eng0 = QueryEngine(idx_dir)
+            delete_docs(idx_dir, eng0.keyword_docs("lang", "de"))
+        _ENGINES[idx_dir] = QueryEngine(idx_dir)  # fresh: loads tombstones
+    return _ENGINES[idx_dir]
+
+
 def _engine_pos(sf_dir: str):
     """Positional twin of :func:`_engine` (IndexConfig(positions=True)) —
     its own cache key, so the non-positional flagship index (and every
@@ -158,24 +190,33 @@ def _bm25_sql(
     must_not: list[str] | None = None,
     should: list[str] | None = None,
     offset: int = 0,
+    exclude_lang: str | None = None,
 ) -> str:
     """BM25 top-k SQL over the derived corpus (exact engine formula:
     k1=1.2, b=0.75, idf=ln(1+(N-df+0.5)/(df+0.5))).  ``should`` terms score
     but aren't required (is_must=0); ``must_not`` terms exclude docs;
-    ``offset`` pages with global rank numbers (ES ``from``)."""
+    ``offset`` pages with global rank numbers (ES ``from``);
+    ``exclude_lang`` replays a TOMBSTONE delete of that language's docs —
+    they vanish from results while df/avgdl/N (separate CTEs over ALL docs)
+    keep counting them, exactly the engine's Lucene-faithful delete."""
     must_not = must_not or []
     should = should or []
     vals = ", ".join("('" + t + "', 1)" for t in terms)
     if should:
         vals += ", " + ", ".join("('" + t + "', 0)" for t in should)
     having = f"HAVING sum(q_is_must) = {len(terms)}" if must_all else ""
-    not_filter = ""
+    preds = []
     if must_not:
-        not_filter = (
-            " WHERE tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ("
+        preds.append(
+            "tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ("
             + _sql_list(must_not)
             + "))"
         )
+    if exclude_lang is not None:
+        preds.append(
+            f"tf.doc_id NOT IN (SELECT doc_id FROM ids WHERE lang = '{exclude_lang}')"
+        )
+    not_filter = (" WHERE " + " AND ".join(preds)) if preds else ""
     extra_score = ""
     lang_join = ""
     if lang_eq is not None:
@@ -425,6 +466,11 @@ def _q_match_suite(sf_dir: str) -> pa.Table:
         # Lucene phrase scoring, oracle = position-adjacency SQL replay)
         ("phrase", _rounded_rank(
             _engine_pos(sf_dir).match_phrase("key value", k=10**9), 10)),
+        # delete lifecycle: 'de' docs tombstoned, then the same match —
+        # deleted docs vanish, survivors keep their exact scores (df/avgdl
+        # still count tombstones until rebuild, the Lucene semantics)
+        ("after_delete", _rounded_rank(
+            _engine_del(sf_dir).match("table value", k=10**9), 10)),
     ]
     return pa.concat_tables(
         t.append_column("q", pa.array([name] * len(t), pa.string()))
@@ -1156,6 +1202,7 @@ FROM stats s
             ("k1", _bm25_sql(["value"], 1)),
             ("from", _bm25_sql(["table", "value"], 10, offset=5)),
             ("phrase", _phrase_sql(["key", "value"], 10)),
+            ("after_delete", _bm25_sql(["table", "value"], 10, exclude_lang="de")),
         ]),
         "match_wand": _bm25_sql(["key", "value", "table"], 10),
         "bool_variants": _suite_sql([

@@ -11,7 +11,15 @@ re-expressed as ray.data.Dataset pipelines over zero-copy Arrow batches.
 
 from librecatastro_ray.config import IndexConfig
 from librecatastro_ray.pipelines.build import build_index
-from librecatastro_ray.pipelines.query import QueryEngine
+from librecatastro_ray.pipelines.query import QueryEngine, delete_by_query
+from librecatastro_ray.state.manifest import delete_docs, drop_index
 
-__all__ = ["IndexConfig", "build_index", "QueryEngine"]
+__all__ = [
+    "IndexConfig",
+    "build_index",
+    "QueryEngine",
+    "delete_docs",
+    "delete_by_query",
+    "drop_index",
+]
 __version__ = "0.1.0"

@@ -244,6 +244,11 @@ class QueryEngine:
         self.scorer = scorer or get_scorer(
             self.config.scorer, self.config.k1, self.config.b
         )
+        # tombstoned doc ids (ES delete-by-id; Lucene-faithful: filtered from
+        # every result, but N/avgdl/df keep counting them until rebuild)
+        from librecatastro_ray.state.manifest import load_deleted
+
+        self._deleted: np.ndarray = load_deleted(index_dir)
         self.n_docs: int = int(self.manifest["n_docs"])
         self.sum_dl: int = int(self.manifest["sum_dl"])
         self.avgdl: float = (float(self.sum_dl) / float(self.n_docs)) if self.n_docs else 1.0
@@ -561,12 +566,24 @@ class QueryEngine:
         sums = np.bincount(inv, weights=all_scores, minlength=len(uniq))
         return uniq, sums
 
+    def _alive(self, docs: np.ndarray) -> np.ndarray:
+        """Boolean mask of docs NOT tombstoned (all-True when no deletes)."""
+        if len(self._deleted) == 0:
+            return np.ones(len(docs), dtype=bool)
+        return ~_in_sorted(docs, self._deleted)
+
     def _topk_table(
         self, docs: np.ndarray, scores: np.ndarray, k: int, offset: int = 0
     ) -> pa.Table:
         """Top-k with pagination: select the top ``offset + k``, return rows
         offset+1..offset+k with their GLOBAL rank numbers (ES ``from``/
-        ``size`` semantics, reference: elasticsearch_utils.py:121)."""
+        ``size`` semantics, reference: elasticsearch_utils.py:121).
+        Tombstoned docs are dropped BEFORE selection — every ranked path
+        funnels through here, so deletes are enforced centrally (WAND
+        additionally filters before its threshold update)."""
+        if len(self._deleted):
+            m = self._alive(docs)
+            docs, scores = docs[m], scores[m]
         sel = topk_indices(scores, docs, offset + k)[offset:]
         return pa.table(
             {
@@ -746,6 +763,10 @@ class QueryEngine:
                     acc[d_in] += contrib
                     touched[d_in] = True
             docs_c = np.nonzero(touched)[0].astype(np.int64)
+            if len(self._deleted) and len(docs_c):
+                # filter BEFORE the threshold update: a tombstoned doc's
+                # score must never inflate θ (it would over-prune live docs)
+                docs_c = docs_c[self._alive(docs_c)]
             if len(docs_c):
                 out_docs.append(docs_c)
                 out_scores.append(acc[docs_c])
@@ -789,6 +810,8 @@ class QueryEngine:
         cand = post[0][0]
         for docs_t, _tf, _dl in post[1:]:
             cand = _intersect_sorted(cand, docs_t)
+        if len(self._deleted) and len(cand):
+            cand = cand[self._alive(cand)]  # before any position byte is read
         if len(cand) == 0:
             return _empty_result()
         # phase 2: positions, pruned to candidate blocks per term unless the
@@ -1078,12 +1101,16 @@ class QueryEngine:
             for d in extra:
                 flags[d] = True
                 hit = True
-            return np.nonzero(flags)[0].astype(np.int64) if hit else None
+            if not hit:
+                return None
+            docs = np.nonzero(flags)[0].astype(np.int64)
+            return docs[self._alive(docs)] if len(self._deleted) else docs
         doc_sets = [d for term in terms for d, _, _ in [self.load_postings(term)] if len(d)]
         doc_sets.extend(extra)
         if not doc_sets:
             return None
-        return np.unique(np.concatenate(doc_sets))
+        docs = np.unique(np.concatenate(doc_sets))
+        return docs[self._alive(docs)] if len(self._deleted) else docs
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """All dictionary terms with the given prefix (scans every partition's
@@ -1263,8 +1290,11 @@ class QueryEngine:
 
     def hydrate(self, doc_ids: np.ndarray | list[int]) -> pa.Table:
         """Forward-index lookup: docstats rows for result doc ids (the
-        analogue of fetching _source for hits)."""
+        analogue of fetching _source for hits).  Tombstoned ids return no
+        row (ES GET of a deleted doc is a 404)."""
         ids = np.asarray(doc_ids, dtype=np.int64)
+        if len(self._deleted):
+            ids = ids[self._alive(ids)]
         ds = self._docstats_ds()
         t = ds.to_table(
             columns=["doc_id", "repo", "path", "commit", "lang", "sha256", "dl"],
@@ -1362,6 +1392,41 @@ class QueryEngine:
         )
 
 
+def delete_by_query(index_dir: str, query: dict) -> int:
+    """ES ``_delete_by_query``: evaluate the query against a fresh engine
+    and tombstone every hit.  ``query`` is the batch-query dict shape
+    ({"kind": "match"|"bool_must"|"match_phrase"|"prefix_content", ...});
+    k is ignored — ALL hits are deleted.  Returns how many NEW docs were
+    tombstoned.  Scale note: results here are hit-scale; a corpus-scale
+    predicate delete (e.g. by keyword) should use
+    ``delete_docs(index_dir, engine.keyword_docs(...))`` which never ranks."""
+    from librecatastro_ray.state.manifest import delete_docs, load_deleted
+
+    eng = QueryEngine(index_dir)
+    kind = query.get("kind") or "match"
+    k = 1 << 62
+    if kind == "match":
+        hits = eng.match(query.get("text") or "", k=k)
+    elif kind == "match_phrase":
+        hits = eng.match_phrase(query.get("text") or "", k=k)
+    elif kind == "bool_must":
+        hits = eng.bool_must(
+            list(query.get("must_terms") or []),
+            k=k,
+            keyword_eq=[tuple(p) for p in query.get("keyword_eq") or []],
+            keyword_prefix=[tuple(p) for p in query.get("keyword_prefix") or []],
+            must_not_terms=list(query.get("must_not_terms") or []),
+            should_terms=list(query.get("should_terms") or []),
+        )
+    elif kind == "prefix_content":
+        hits = eng.prefix_content(query.get("prefix") or "", k=k)
+    else:
+        raise ValueError(kind)
+    before = len(load_deleted(index_dir))
+    after = delete_docs(index_dir, hits["doc_id"].to_numpy())
+    return after - before
+
+
 QUERY_INPUT_SCHEMA = pa.schema(
     [
         ("query_id", pa.int64()),
@@ -1457,13 +1522,18 @@ _PROCESS_ENGINES: dict[tuple, QueryEngine] = {}
 
 
 def _manifest_version(index_dir: str) -> tuple:
-    """Cheap identity of the index CONTENT at this path (manifest file
-    size + mtime) — a drop + rebuild at the same path must not be served
-    from a reused worker's cached engine/postings."""
-    from librecatastro_ray.state.manifest import manifest_path
+    """Cheap identity of the index CONTENT at this path (manifest + tombstone
+    file size + mtime) — a drop + rebuild OR a delete at the same path must
+    not be served from a reused worker's cached engine/postings."""
+    from librecatastro_ray.state.manifest import deleted_path, manifest_path
 
     st = os.stat(manifest_path(index_dir))
-    return (st.st_size, st.st_mtime_ns)
+    dpath = deleted_path(index_dir)
+    dstat = (0, 0)
+    if os.path.exists(dpath):
+        d = os.stat(dpath)
+        dstat = (d.st_size, d.st_mtime_ns)
+    return (st.st_size, st.st_mtime_ns, *dstat)
 
 
 def _process_engine(index_dir: str) -> QueryEngine:
@@ -1499,6 +1569,10 @@ class RangeEngine:
         self._postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._postings_pos: dict[str, tuple] = {}
         self._prefix_docs: dict[str, np.ndarray] = {}
+        # this range's slice of the tombstone set, range-local indices
+        dlt = self.eng._deleted
+        i, j = np.searchsorted(dlt, (self.lo, self.hi))
+        self._dead_local = (dlt[i:j] - self.lo).astype(np.int64)
 
     def _postings_range(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Read AND decode only blocks overlapping [lo, hi): the overlapping
@@ -1622,6 +1696,8 @@ class RangeEngine:
         loaded = [self._postings_range_pos(t) for t in terms]
         cand, pf, dl_cand = _phrase_stats(loaded)
         hit = pf > 0
+        if len(self._dead_local) and len(cand):
+            hit &= ~_in_sorted(cand - self.lo, self._dead_local)
         if not hit.any():
             return self._EMPTY
         w = 0.0
@@ -1664,6 +1740,8 @@ class RangeEngine:
                 hit = True
         if not hit:
             return self._EMPTY
+        if len(self._dead_local):
+            acc[self._dead_local] = 0.0  # tombstoned docs never rank
         docs = np.nonzero(acc)[0].astype(np.int64) + self.lo
         sel = topk_indices(acc[docs - self.lo], docs, k)
         return docs[sel], acc[docs - self.lo][sel]
@@ -1732,6 +1810,8 @@ class RangeEngine:
             d, _f, _L = self._postings_range(term)
             if len(d):
                 ok[d - self.lo] = False
+        if len(self._dead_local):
+            ok[self._dead_local] = False
         cand = np.nonzero(ok)[0]
         if len(cand) == 0:
             return self._EMPTY
@@ -1745,6 +1825,8 @@ class RangeEngine:
             d, _f, _L = self._postings_range(term)
             if len(d):
                 flags[d - self.lo] = True
+        if len(self._dead_local):
+            flags[self._dead_local] = False
         docs = np.nonzero(flags)[0].astype(np.int64) + self.lo
         return docs, len(docs)
 
@@ -1789,6 +1871,8 @@ class RangeEngine:
                 m = (d >= self.lo) & (d < self.hi)
                 if m.any():
                     flags[d[m] - self.lo] = True
+            if len(self._dead_local):
+                flags[self._dead_local] = False
             cached = np.nonzero(flags)[0].astype(np.int64) + self.lo
             self._prefix_docs[prefix] = cached
         return cached, len(cached)

@@ -113,6 +113,46 @@ def save_manifest(index_dir: str, manifest: dict) -> None:
     atomic_write_json(manifest_path(index_dir), manifest)
 
 
+def deleted_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "deleted", "deleted.parquet")
+
+
+def load_deleted(index_dir: str):
+    """Sorted unique int64 array of tombstoned doc ids (empty if none)."""
+    import numpy as np
+
+    path = deleted_path(index_dir)
+    if not os.path.exists(path):
+        return np.zeros(0, dtype=np.int64)
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)["doc_id"].to_numpy().astype(np.int64)
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone documents by id (ES DELETE /index/_doc/{id} analogue,
+    reference: the delete-ignoring-404 lifecycle in elasticsearch_utils.py:85-98).
+
+    Lucene-faithful semantics: deleted docs stop appearing in ANY query
+    result (hits, counts, hydrate) immediately, but corpus statistics
+    (N, avgdl, per-term df) keep counting them until a rebuild — exactly
+    Lucene's behavior for deletes before a segment merge.  Idempotent and
+    accumulative; atomic tmp+rename write.  Returns the total tombstone
+    count after the merge."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    merged = np.union1d(load_deleted(index_dir), ids)
+    path = deleted_path(index_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
+    os.replace(tmp, path)
+    return int(len(merged))
+
+
 def drop_index(index_dir: str) -> bool:
     """Idempotent index delete (the reference deletes ignoring 400/404,
     reference: src/utils/elasticsearch_utils.py:85-98)."""
