@@ -92,6 +92,48 @@ def _engine_del(sf_dir: str):
     return _ENGINES[idx_dir]
 
 
+def _engine_add(sf_dir: str):
+    """Engine over an INCREMENTALLY-built index: base build over the non-'de'
+    docs, then ``add_documents`` of the 'de' docs (own cached dir).  The
+    oracle replays the incremental id rule by ordering ids on
+    ((lang='de'), repo, path)."""
+    import pyarrow.compute as pc
+
+    from librecatastro_ray.config import IndexConfig
+    from librecatastro_ray.pipelines.build import add_documents, build_index
+    from librecatastro_ray.pipelines.query import QueryEngine
+    from librecatastro_ray.sources.docs_table import corpus_from_documents
+
+    from librecatastro_ray.state.manifest import INDEX_FORMAT_VERSION
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:v{INDEX_FORMAT_VERSION}:add".encode()
+    ).hexdigest()[:12]
+    idx_dir = os.path.join(CACHE_ROOT, key)
+    if idx_dir not in _ENGINES:
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            build_index(
+                corpus_from_documents(sf_dir).map_batches(
+                    lambda b: b.filter(pc.not_equal(b["lang"], "de")),
+                    batch_format="pyarrow",
+                ),
+                idx_dir,
+                IndexConfig(num_partitions=4, num_salts=2, hot_df_ratio=0.05),
+            )
+        from librecatastro_ray.state.manifest import load_manifest
+
+        if int(load_manifest(idx_dir).get("generation", 0)) == 0:
+            add_documents(
+                corpus_from_documents(sf_dir).map_batches(
+                    lambda b: b.filter(pc.equal(b["lang"], "de")),
+                    batch_format="pyarrow",
+                ),
+                idx_dir,
+            )
+        _ENGINES[idx_dir] = QueryEngine(idx_dir)
+    return _ENGINES[idx_dir]
+
+
 def _engine_pos(sf_dir: str):
     """Positional twin of :func:`_engine` (IndexConfig(positions=True)) —
     its own cache key, so the non-positional flagship index (and every
@@ -152,7 +194,13 @@ def _rounded_rank(t: pa.Table, k: int, offset: int = 0) -> pa.Table:
 # shared oracle-SQL CTE prefix (mirrors sources/docs_table.py + the tokenizer)
 # ---------------------------------------------------------------------------
 
-_BASE_CTE = """
+def _base_cte(ids_order: str = "repo, path") -> str:
+    """The shared corpus→ids→tf/dl/stats/df CTE prefix.  ``ids_order``
+    parameterizes the doc-id assignment rule: the full build assigns dense
+    ids by global (repo, path); an INCREMENTAL build assigns the base batch
+    first, then the added batch (each sorted) — replayed by ordering on the
+    batch predicate first."""
+    return f"""
 WITH corpus AS (
     SELECT source AS repo,
            'docs/' || lang || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS path,
@@ -161,9 +209,12 @@ WITH corpus AS (
 ),
 ids AS (
     SELECT repo, path, lang, content,
-           row_number() OVER (ORDER BY repo, path) - 1 AS doc_id
+           row_number() OVER (ORDER BY {ids_order}) - 1 AS doc_id
     FROM corpus
-),
+),""" + _BASE_CTE_TAIL
+
+
+_BASE_CTE_TAIL = """
 toks AS (
     SELECT doc_id,
            unnest(list_filter(regexp_split_to_array(lower(coalesce(content, '')), '[^a-z0-9_]+'),
@@ -180,6 +231,8 @@ stats AS (SELECT count(*)::BIGINT AS n_docs,
 df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
 """
 
+_BASE_CTE = _base_cte()
+
 
 def _bm25_sql(
     terms: list[str],
@@ -191,6 +244,7 @@ def _bm25_sql(
     should: list[str] | None = None,
     offset: int = 0,
     exclude_lang: str | None = None,
+    ids_order: str = "repo, path",
 ) -> str:
     """BM25 top-k SQL over the derived corpus (exact engine formula:
     k1=1.2, b=0.75, idf=ln(1+(N-df+0.5)/(df+0.5))).  ``should`` terms score
@@ -229,7 +283,7 @@ def _bm25_sql(
         )
         extra_score += " + 1.0"
     return f"""
-{_BASE_CTE},
+{_base_cte(ids_order)},
 qterms(term, q_is_must) AS (VALUES {vals}),
 contrib AS (
     SELECT tf.doc_id, q.q_is_must,
@@ -471,6 +525,11 @@ def _q_match_suite(sf_dir: str) -> pa.Table:
         # still count tombstones until rebuild, the Lucene semantics)
         ("after_delete", _rounded_rank(
             _engine_del(sf_dir).match("table value", k=10**9), 10)),
+        # incremental indexing: base build over non-'de' docs, then
+        # add_documents of the 'de' docs — same match replays against the
+        # incremental id-assignment rule ((lang='de'), repo, path)
+        ("after_add", _rounded_rank(
+            _engine_add(sf_dir).match("merge group", k=10**9), 10)),
     ]
     return pa.concat_tables(
         t.append_column("q", pa.array([name] * len(t), pa.string()))
@@ -1203,6 +1262,8 @@ FROM stats s
             ("from", _bm25_sql(["table", "value"], 10, offset=5)),
             ("phrase", _phrase_sql(["key", "value"], 10)),
             ("after_delete", _bm25_sql(["table", "value"], 10, exclude_lang="de")),
+            ("after_add", _bm25_sql(
+                ["merge", "group"], 10, ids_order="(lang = 'de'), repo, path")),
         ]),
         "match_wand": _bm25_sql(["key", "value", "table"], 10),
         "bool_variants": _suite_sql([

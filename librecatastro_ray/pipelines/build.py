@@ -384,3 +384,176 @@ def build_index(
 
         shutil.rmtree(shuffle_dir, ignore_errors=True)
     return {"manifest": manifest, "report": report}
+
+
+def add_documents(corpus: Any, index_dir: str) -> dict:
+    """Incremental indexing (the ES behavior the reference's crawler relies
+    on: documents stream in continuously and are upserted one HTTP call at a
+    time, reference: src/utils/elasticsearch_utils.py:100-136 +
+    cadaster_entry.py:46-77 — here one BATCH at a time, Ray-Data-shaped).
+
+    Semantics (Lucene segment model, without the segment read path):
+      - new docs get ids AFTER the current ``n_docs`` (dense, sorted by
+        (repo, path) within the batch; existing ids never change);
+      - an incoming (repo, path) that already exists UPSERTS: the old doc id
+        is tombstoned (``delete_docs``) and the new doc serves — exactly
+        Lucene's delete-then-add update;
+      - global stats move to the new totals (N += batch, sum_dl += batch;
+        tombstoned old versions keep counting until a full rebuild, the
+        documented delete semantics);
+      - every partition re-merges DECODED old postings with the new spill —
+        content is never re-tokenized, so add cost scales with INDEX size +
+        batch size, not corpus text size (a Lucene big-merge, not a rebuild);
+        block-max bounds are recomputed with the updated avgdl;
+      - MVCC: the re-merge writes a NEW generation parts dir
+        (``parts-g{n}``) and the manifest flips LAST — a crash mid-add
+        leaves the old index fully readable; rerunning the add redoes it.
+
+    The partitioning scheme (P, S, HOT TERM LIST) is frozen at build time —
+    new postings must land in the same (pkey, salt) files, so the hot list
+    is not re-estimated (document-frequency drift only affects salt spread,
+    never correctness).
+    """
+    import shutil
+
+    from librecatastro_ray.pipelines.query import QueryEngine
+    from librecatastro_ray.state.manifest import delete_docs
+
+    manifest = load_manifest(index_dir)
+    config = IndexConfig.from_json(manifest["config"])
+    gen = int(manifest.get("generation", 0)) + 1
+    old_parts = manifest.get("parts_dir", "parts")
+    new_parts = f"parts-g{gen}"
+    spill_dir_name = f"shuffle-g{gen}"
+    ckpt_name = f"checkpoints-g{gen}"
+    docs_dir = os.path.join(index_dir, "docs")
+    gen_docs = os.path.join(docs_dir, f"gen-{gen}")
+    # a rerun after a crash redoes the whole add: wipe this generation's
+    # scratch (the OLD generation's files are never touched)
+    for d in (gen_docs, os.path.join(index_dir, spill_dir_name),
+              os.path.join(index_dir, ckpt_name),
+              os.path.join(index_dir, new_parts)):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # ---- new docs: dedup within batch, ids offset past the current space --
+    ds = _as_dataset(corpus)
+    id_base = int(manifest["n_docs"])
+    n_new, sum_dl_new = dedup_assign_write(
+        ds, gen_docs, analyzer_id=config.analyzer, id_base=id_base
+    )
+    report: dict[str, Any] = {"n_added": int(n_new), "generation": gen}
+    if n_new == 0:
+        return {"manifest": manifest, "report": report}
+
+    # ---- upsert: tombstone old ids whose (repo, path) reappears ----------
+    import pyarrow.dataset as pads
+
+    new_keys_t = pads.dataset(gen_docs, format="parquet").to_table(
+        columns=["repo", "path"]
+    )
+    key_arr = pa.compute.binary_join_element_wise(
+        new_keys_t["repo"], new_keys_t["path"], "\x00"
+    )
+    new_key_set = np.sort(key_arr.to_numpy(zero_copy_only=False))
+    key_ref = ray.put(new_key_set)
+
+    def _collide(batch: pa.Table, *, keys_ref=key_ref) -> pa.Table:
+        keys = ray.get(keys_ref) if not isinstance(keys_ref, np.ndarray) else keys_ref
+        k = pa.compute.binary_join_element_wise(
+            batch["repo"], batch["path"], "\x00"
+        ).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, k)
+        idx[idx == len(keys)] = len(keys) - 1
+        hit = keys[idx] == k
+        return pa.table({"doc_id": batch["doc_id"].to_numpy()[hit]})
+
+    # scan only the PRE-EXISTING generations' key columns (broadcast probe)
+    old_doc_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(docs_dir)
+        for f in fs
+        if f.endswith(".parquet") and not r.startswith(gen_docs)
+    ]
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    collisions = (
+        read_parquet_clean(old_doc_files, columns=["doc_id", "repo", "path"])
+        .map_batches(_collide, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    n_upserts = 0
+    if len(collisions):
+        delete_docs(index_dir, collisions["doc_id"].to_numpy())
+        n_upserts = int(len(collisions))
+    report["n_upserts"] = n_upserts
+
+    # ---- new postings spill (frozen P/S/hot list) -------------------------
+    new_docs_ds = _read_sized(gen_docs, ["doc_id", "content"])
+    hot_terms = manifest["hot_terms"]
+    ds_postings = new_docs_ds.map_batches(
+        flat_postings_positional if config.positions else flat_postings,
+        fn_kwargs={
+            "num_partitions": config.num_partitions,
+            "num_salts": config.num_salts,
+            "hot_terms": hot_terms,
+            "analyzer_id": config.analyzer,
+        },
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+    )
+    spill_path = os.path.join(index_dir, spill_dir_name)
+    ds_postings.write_parquet(spill_path, partition_cols=["skey"])
+
+    # ---- re-merge EVERY partition (avgdl changed → all bounds recompute) --
+    n_docs = id_base + int(n_new)
+    sum_dl = int(manifest["sum_dl"]) + int(sum_dl_new)
+    avgdl = (float(sum_dl) / float(n_docs)) if n_docs else 1.0
+    all_skeys = list(range(config.num_partitions * config.num_salts))
+    work = ray.data.from_items(
+        [{"skey": s} for s in all_skeys], override_num_blocks=len(all_skeys)
+    )
+    work.map_batches(
+        merge_batch,
+        fn_kwargs={
+            "index_dir": index_dir,
+            "avgdl": avgdl,
+            "config_json": config.to_json(),
+            "parts_dir": new_parts,
+            "spill_dir": spill_dir_name,
+            "ckpt_name": ckpt_name,
+            "old_parts": old_parts,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        num_cpus=1,
+    ).materialize()
+
+    # ---- finalize: manifest flips last (MVCC commit point) ----------------
+    partitions = {}
+    for skey in all_skeys:
+        ck = read_json(os.path.join(index_dir, ckpt_name, f"part-{skey}.json"))
+        partitions[str(skey)] = {
+            "pkey": ck["pkey"],
+            "salt": ck["salt"],
+            "n_terms": ck["metrics"]["n_terms"],
+            "n_postings": ck["metrics"]["n_postings"],
+            "output_sha256": ck["output_sha256"],
+        }
+    manifest = dict(manifest)
+    manifest["n_docs"] = n_docs
+    manifest["sum_dl"] = sum_dl
+    manifest["parts_dir"] = new_parts
+    manifest["generation"] = gen
+    manifest["partitions"] = partitions
+    manifest["lineage"] = dict(
+        manifest.get("lineage") or {},
+        n_postings=sum(p["n_postings"] for p in partitions.values()),
+    )
+    save_manifest(index_dir, manifest)
+    # the old generation is now unreferenced; reclaim it (crash before this
+    # point never reaches here, so the flip stays atomic)
+    if old_parts != new_parts:
+        shutil.rmtree(os.path.join(index_dir, old_parts), ignore_errors=True)
+    shutil.rmtree(spill_path, ignore_errors=True)
+    report["n_docs"] = n_docs
+    return {"manifest": manifest, "report": report}

@@ -249,6 +249,9 @@ class QueryEngine:
         from librecatastro_ray.state.manifest import load_deleted
 
         self._deleted: np.ndarray = load_deleted(index_dir)
+        # generation-versioned parts dir (incremental adds flip it in the
+        # manifest last — MVCC: a crashed add leaves the old index readable)
+        self._parts: str = self.manifest.get("parts_dir", "parts")
         self.n_docs: int = int(self.manifest["n_docs"])
         self.sum_dl: int = int(self.manifest["sum_dl"])
         self.avgdl: float = (float(self.sum_dl) / float(self.n_docs)) if self.n_docs else 1.0
@@ -300,7 +303,7 @@ class QueryEngine:
         key = (pkey, salt)
         t = self._dict_cache.get(key)
         if t is None:
-            path = dict_file(self.index_dir, pkey, salt)
+            path = dict_file(self.index_dir, pkey, salt, self._parts)
             if os.path.exists(path):
                 t = pq.read_table(path)
             else:
@@ -327,7 +330,7 @@ class QueryEngine:
         return sum(self._df_map(pkey, salt).get(term, 0) for salt in self._salts(term))
 
     def _read_blocks(self, term: str, salt: int) -> pa.Table | None:
-        path = blocks_file(self.index_dir, self._pkey(term), salt)
+        path = blocks_file(self.index_dir, self._pkey(term), salt, self._parts)
         if not os.path.exists(path):
             return None
         t = pq.read_table(path, filters=[("term", "==", term)])
@@ -384,7 +387,7 @@ class QueryEngine:
         cumsum with per-posting restarts, the decode_blocks_table pattern."""
         from librecatastro_ray.stages.merge import positions_file
 
-        path = positions_file(self.index_dir, self._pkey(term), salt)
+        path = positions_file(self.index_dir, self._pkey(term), salt, self._parts)
         if not os.path.exists(path):
             raise ValueError(
                 f"index at {self.index_dir} has no positions sidecar — build "
@@ -466,12 +469,12 @@ class QueryEngine:
                 ("block_no", "in", [int(x) for x in need]),
             ]
             bt = pq.read_table(
-                blocks_file(self.index_dir, self._pkey(term), salt), filters=filters
+                blocks_file(self.index_dir, self._pkey(term), salt, self._parts), filters=filters
             )
             if len(bt) == 0:
                 continue
             d, f, L = decode_blocks_table(bt)
-            ppath = positions_file(self.index_dir, self._pkey(term), salt)
+            ppath = positions_file(self.index_dir, self._pkey(term), salt, self._parts)
             if not os.path.exists(ppath):
                 raise ValueError(
                     f"index at {self.index_dir} has no positions sidecar — "
@@ -509,7 +512,7 @@ class QueryEngine:
         key = (term, salt)
         if key in self._blockmeta_cache:
             return self._blockmeta_cache[key]
-        path = blocks_file(self.index_dir, self._pkey(term), salt)
+        path = blocks_file(self.index_dir, self._pkey(term), salt, self._parts)
         result = None
         if os.path.exists(path):
             t = pq.read_table(
@@ -1071,7 +1074,7 @@ class QueryEngine:
                     cold_small.setdefault((pk, salt), []).append(t)
         doc_parts: list[np.ndarray] = []
         for (pk, salt), ts in cold_small.items():
-            path = blocks_file(self.index_dir, pk, salt)
+            path = blocks_file(self.index_dir, pk, salt, self._parts)
             if not os.path.exists(path):
                 continue
             bt = pq.read_table(path, columns=["n", "docs", "tfs", "dls"],
@@ -1234,7 +1237,7 @@ class QueryEngine:
         terms_l, docs_l, tfs_l = [], [], []
         for pkey in range(self.config.num_partitions):
             for salt in range(self.config.num_salts):
-                path = blocks_file(self.index_dir, pkey, salt)
+                path = blocks_file(self.index_dir, pkey, salt, self._parts)
                 if not os.path.exists(path):
                     continue
                 bt = pq.read_table(path, columns=["term", "n", "docs", "tfs", "dls"])
@@ -1593,7 +1596,7 @@ class RangeEngine:
             wanted = np.nonzero((last >= self.lo) & (prev < self.hi - 1))[0]
             if len(wanted) == 0:
                 continue
-            path = blocks_file(eng.index_dir, eng._pkey(term), salt)
+            path = blocks_file(eng.index_dir, eng._pkey(term), salt, eng._parts)
             bt = pq.read_table(
                 path,
                 filters=[
@@ -1655,12 +1658,12 @@ class RangeEngine:
                 ("block_no", ">=", int(wanted[0])),
                 ("block_no", "<=", int(wanted[-1])),
             ]
-            bt = pq.read_table(blocks_file(eng.index_dir, eng._pkey(term), salt), filters=filters)
+            bt = pq.read_table(blocks_file(eng.index_dir, eng._pkey(term), salt, eng._parts), filters=filters)
             if len(bt) == 0:
                 continue
             d, f, L = decode_blocks_table(bt)
             pt = pq.read_table(
-                positions_file(eng.index_dir, eng._pkey(term), salt), filters=filters
+                positions_file(eng.index_dir, eng._pkey(term), salt, eng._parts), filters=filters
             )
             pos_all = decode_positions_stream(pt["positions"], f)
             m = (d >= self.lo) & (d < self.hi)
@@ -1857,7 +1860,7 @@ class RangeEngine:
                     for salt in eng._salts(term):
                         grouped.setdefault((pk, salt), []).append(term)
             for (pk, salt), terms in grouped.items():
-                path = blocks_file(eng.index_dir, pk, salt)
+                path = blocks_file(eng.index_dir, pk, salt, eng._parts)
                 if not os.path.exists(path):
                     continue
                 bt = pq.read_table(

@@ -16,7 +16,9 @@ import pyarrow as pa
 import ray.data
 
 
-def _one_parquet_file(path: str) -> str | None:
+def _one_parquet_file(path) -> str | None:
+    if isinstance(path, (list, tuple)):
+        return path[0] if path else None
     if not os.path.isdir(path):
         return path
     for root, _dirs, files in sorted(os.walk(path)):

@@ -323,7 +323,9 @@ def _bundle_refs_meta(mat: ray.data.Dataset) -> tuple[list, list[int]]:
     return refs, rows
 
 
-def _winner_splits(block_refs: list, n_rows: int) -> tuple[list[list], int, int]:
+def _winner_splits(
+    block_refs: list, n_rows: int, id_base: int = 0
+) -> tuple[list[list], int, int]:
     """Key extraction → key-only global sort → per-block dedup → id stamping,
     returning ``(groups, span, n_docs)`` where ``groups[g]`` is the list of
     winner-triple refs for bid range [g*span, (g+1)*span)."""
@@ -347,7 +349,7 @@ def _winner_splits(block_refs: list, n_rows: int) -> tuple[list[list], int, int]
         count_refs.append(c_ref)
     counts = ray.get(count_refs)
     n_docs = int(sum(counts))
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64) + int(id_base)
 
     # scatter (bid, row, doc_id) straight into bid-range groups — one task
     # round instead of a second Ray Data sort
@@ -387,6 +389,7 @@ def dedup_assign_write(
     docs_dir: str,
     compression: str = "zstd",
     analyzer_id: str = "code_standard_v1",
+    id_base: int = 0,
 ) -> tuple[int, int]:
     """Fused variant for the build pipeline: dedup + id assignment with the
     finished doc-store blocks written straight to ``docs_dir`` (one parquet
@@ -434,7 +437,7 @@ def dedup_assign_write(
         with open(tmp, "w") as f:
             json.dump(plan, f)
         os.replace(tmp, plan_path)
-    groups, span, n_docs = _winner_splits(block_refs, n_rows)
+    groups, span, n_docs = _winner_splits(block_refs, n_rows, id_base)
     count_refs, dl_refs = [], []
     for bid, block in enumerate(block_refs):
         c, d = _apply_ids_write.remote(block, bid, docs_dir, compression, *groups[bid // span])

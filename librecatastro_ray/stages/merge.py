@@ -53,16 +53,16 @@ POSITIONS_SCHEMA = pa.schema(
 )
 
 
-def blocks_file(index_dir: str, pkey: int, salt: int) -> str:
-    return os.path.join(index_dir, "parts", f"blocks-{pkey:04d}-{salt:02d}.parquet")
+def blocks_file(index_dir: str, pkey: int, salt: int, parts: str = "parts") -> str:
+    return os.path.join(index_dir, parts, f"blocks-{pkey:04d}-{salt:02d}.parquet")
 
 
-def dict_file(index_dir: str, pkey: int, salt: int) -> str:
-    return os.path.join(index_dir, "parts", f"dict-{pkey:04d}-{salt:02d}.parquet")
+def dict_file(index_dir: str, pkey: int, salt: int, parts: str = "parts") -> str:
+    return os.path.join(index_dir, parts, f"dict-{pkey:04d}-{salt:02d}.parquet")
 
 
-def positions_file(index_dir: str, pkey: int, salt: int) -> str:
-    return os.path.join(index_dir, "parts", f"positions-{pkey:04d}-{salt:02d}.parquet")
+def positions_file(index_dir: str, pkey: int, salt: int, parts: str = "parts") -> str:
+    return os.path.join(index_dir, parts, f"positions-{pkey:04d}-{salt:02d}.parquet")
 
 
 def _atomic_write_parquet(path: str, table: pa.Table, row_group_size: int) -> int:
@@ -73,17 +73,83 @@ def _atomic_write_parquet(path: str, table: pa.Table, row_group_size: int) -> in
     return os.path.getsize(path)
 
 
+def _empty_flat(with_pos: bool) -> pa.Table:
+    empty = {
+        "term": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "tf": pa.array([], pa.int64()),
+        "dl": pa.array([], pa.int64()),
+    }
+    if with_pos:
+        empty["pos"] = pa.array([], pa.binary())
+    return pa.table(empty)
+
+
+def decode_partition_flat(
+    index_dir: str, pkey: int, salt: int, parts: str, with_pos: bool
+) -> pa.Table:
+    """Inverse of the encode: one partition's blocks back to FLAT postings
+    ``(term, doc_id, tf, dl[, pos])`` — the incremental-add path re-merges
+    decoded old postings with the new spill, never re-tokenizing content.
+    Vectorized throughout; ``pos`` cells are re-cut from the block blobs by
+    varbyte VALUE-END arithmetic (a value ends at its first high-bit-0
+    byte), no re-encode."""
+    from librecatastro_ray.functions.codec import binary_column_payload
+
+    bpath = blocks_file(index_dir, pkey, salt, parts)
+    if not os.path.exists(bpath):
+        return _empty_flat(with_pos)
+    bt = pq.read_table(bpath)
+    if len(bt) == 0:
+        return _empty_flat(with_pos)
+    n = bt["n"].to_numpy().astype(np.int64)
+    from librecatastro_ray.pipelines.query import decode_blocks_table
+
+    docs, tfs, dls = decode_blocks_table(bt)
+    terms = np.repeat(bt["term"].to_numpy(zero_copy_only=False), n)
+    out = {
+        "term": pa.array(terms, pa.string()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "tf": pa.array(tfs, pa.int64()),
+        "dl": pa.array(dls, pa.int64()),
+    }
+    if with_pos:
+        ppath = positions_file(index_dir, pkey, salt, parts)
+        pt = pq.read_table(ppath)
+        blob = binary_column_payload(pt["positions"])
+        # byte length of each encoded VALUE = distance between value ends
+        ends = np.nonzero((blob & 0x80) == 0)[0]
+        vlen = np.diff(np.concatenate([[-1], ends]))
+        # per-POSTING byte length = sum of its tf value lengths
+        starts_v = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+        plen = np.add.reduceat(vlen, starts_v) if len(vlen) else np.zeros(0, np.int64)
+        plen = np.where(tfs == 0, 0, plen)  # reduceat artifacts on empty segs
+        bounds = np.concatenate([[0], np.cumsum(plen)])
+        from librecatastro_ray.stages.postings import _cut_binary
+
+        out["pos"] = _cut_binary(blob, bounds)
+    return pa.table(out)
+
+
 def merge_partition(
     index_dir: str,
     skey: int,
     avgdl: float,
     config: IndexConfig,
+    *,
+    parts_dir: str = "parts",
+    spill_dir: str = "shuffle",
+    ckpt_name: str = "checkpoints",
+    old_parts: str | None = None,
 ) -> dict:
     """Merge one shuffle partition of flat postings into encoded blocks.
 
-    Reads ``{index_dir}/shuffle/skey={skey}/`` (written by the phase-1
-    partitioned spill), returns the checkpoint entry it wrote.
-    """
+    Reads ``{index_dir}/{spill_dir}/skey={skey}/`` (written by the phase-1
+    partitioned spill), returns the checkpoint entry it wrote.  With
+    ``old_parts``, the existing partition is DECODED and merged in (the
+    incremental-add path): output goes to ``parts_dir`` (a new generation
+    directory — the old generation stays readable until the manifest flips),
+    and block-max bounds are recomputed with the updated ``avgdl``."""
     t0 = time.monotonic()
     # this task IS the unit of parallelism (num_cpus=1); Arrow's default
     # machine-wide thread pools would oversubscribe the node 32× when many
@@ -93,7 +159,7 @@ def merge_partition(
         pa.set_io_thread_count(4)
     S = config.num_salts
     pkey, salt = divmod(skey, S)
-    part_dir = os.path.join(index_dir, "shuffle", f"skey={skey}")
+    part_dir = os.path.join(index_dir, spill_dir, f"skey={skey}")
     with_pos = bool(getattr(config, "positions", False))
     cols = ["term", "doc_id", "tf", "dl"] + (["pos"] if with_pos else [])
     lineage_files: list[str] = []
@@ -102,15 +168,12 @@ def merge_partition(
         lineage_files = sorted(os.path.basename(f) for f in dset.files)
         t = dset.to_table(columns=cols)
     else:
-        empty = {
-            "term": pa.array([], pa.string()),
-            "doc_id": pa.array([], pa.int64()),
-            "tf": pa.array([], pa.int64()),
-            "dl": pa.array([], pa.int64()),
-        }
-        if with_pos:
-            empty["pos"] = pa.array([], pa.binary())
-        t = pa.table(empty)
+        t = _empty_flat(with_pos)
+    if old_parts is not None:
+        old = decode_partition_flat(index_dir, pkey, salt, old_parts, with_pos)
+        if len(old):
+            lineage_files.insert(0, f"{old_parts}/blocks-{pkey:04d}-{salt:02d}.parquet")
+            t = pa.concat_tables([old, t.select(old.column_names)]) if len(t) else old
 
     # sort by (term, doc_id) — identical order to a direct string sort, but
     # via dictionary-encode + lex-ranked integer codes + int lexsort, which
@@ -235,13 +298,13 @@ def merge_partition(
         n_dict_terms = 0
         n_block_rows = 0
 
-    bpath = blocks_file(index_dir, pkey, salt)
-    dpath = dict_file(index_dir, pkey, salt)
+    bpath = blocks_file(index_dir, pkey, salt, parts_dir)
+    dpath = dict_file(index_dir, pkey, salt, parts_dir)
     nbytes = _atomic_write_parquet(bpath, blocks, config.blocks_row_group_size)
     nbytes += _atomic_write_parquet(dpath, dict_t, config.blocks_row_group_size)
     outputs = [os.path.relpath(bpath, index_dir), os.path.relpath(dpath, index_dir)]
     if pos_t is not None:
-        ppath = positions_file(index_dir, pkey, salt)
+        ppath = positions_file(index_dir, pkey, salt, parts_dir)
         nbytes += _atomic_write_parquet(ppath, pos_t, config.blocks_row_group_size)
         outputs.append(os.path.relpath(ppath, index_dir))
 
@@ -267,12 +330,22 @@ def merge_partition(
         "outputs": outputs,
         "output_sha256": out_sha,
     }
-    atomic_write_json(checkpoint_path(index_dir, skey), entry)
+    ckpt = (checkpoint_path(index_dir, skey) if ckpt_name == "checkpoints"
+            else os.path.join(index_dir, ckpt_name, f"part-{skey}.json"))
+    atomic_write_json(ckpt, entry)
     return entry
 
 
 def merge_batch(
-    batch: pa.Table, *, index_dir: str, avgdl: float, config_json: dict
+    batch: pa.Table,
+    *,
+    index_dir: str,
+    avgdl: float,
+    config_json: dict,
+    parts_dir: str = "parts",
+    spill_dir: str = "shuffle",
+    ckpt_name: str = "checkpoints",
+    old_parts: str | None = None,
 ) -> pa.Table:
     """map_batches (task, ``fn_kwargs``): merge the partitions named in the
     batch.  Each input row is one skey; per-partition work is large, so the
@@ -283,6 +356,10 @@ def merge_batch(
     config = IndexConfig.from_json(config_json)
     entries = []
     for skey in batch["skey"].to_pylist():
-        entry = merge_partition(index_dir, int(skey), avgdl, config)
+        entry = merge_partition(
+            index_dir, int(skey), avgdl, config,
+            parts_dir=parts_dir, spill_dir=spill_dir, ckpt_name=ckpt_name,
+            old_parts=old_parts,
+        )
         entries.append(json.dumps(entry, sort_keys=True))
     return pa.table({"checkpoint": pa.array(entries, pa.string())})
