@@ -44,6 +44,18 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salts", type=int, default=4)
     b.add_argument("--hot-df-ratio", type=float, default=0.05)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="positional index (enables phrase queries)")
+
+    a = sub.add_parser("add", help="incrementally add/upsert documents "
+                       "(Lucene merge semantics; content never re-tokenized)")
+    a.add_argument("--corpus", required=True)
+    a.add_argument("--index", required=True)
+
+    dd = sub.add_parser("delete", help="tombstone documents by id or by query")
+    dd.add_argument("--index", required=True)
+    dd.add_argument("--doc-ids", nargs="*", type=int, default=None)
+    dd.add_argument("--text", default=None, help="delete every match hit")
 
     q = sub.add_parser("query", help="query an index")
     q.add_argument("--index", required=True)
@@ -96,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.partitions,
             num_salts=args.salts,
             hot_df_ratio=args.hot_df_ratio,
+            positions=bool(args.positions),
         )
         res = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
         m = res["manifest"]
@@ -109,6 +122,32 @@ def main(argv: list[str] | None = None) -> int:
         import ray
 
         ray.shutdown()
+        return 0
+
+    if args.cmd == "add":
+        _init_ray()
+        from librecatastro_ray.pipelines.build import add_documents
+
+        res = add_documents(args.corpus, args.index)
+        print(json.dumps(res["report"]))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "delete":
+        from librecatastro_ray.pipelines.query import delete_by_query
+        from librecatastro_ray.state.manifest import delete_docs
+
+        if args.doc_ids:
+            total = delete_docs(args.index, args.doc_ids)
+            print(json.dumps({"tombstones_total": total}))
+        elif args.text:
+            n = delete_by_query(args.index, {"kind": "match", "text": args.text})
+            print(json.dumps({"tombstoned": n}))
+        else:
+            print(json.dumps({"error": "pass --doc-ids or --text"}))
+            return 2
         return 0
 
     if args.cmd == "query":
