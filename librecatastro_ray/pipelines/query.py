@@ -1835,50 +1835,56 @@ class RangeEngine:
 
     def prefix_union(self, prefix: str) -> tuple[np.ndarray, int]:
         """Union of all docs whose terms start with ``prefix``, restricted to
-        the range.  Hybrid IO plan: terms with many posting blocks go through
-        the block-pruned per-term read (IO = the range's share); the long
-        tail of small terms — a prefix can expand to thousands — batches
+        the range (see :meth:`expansion_union` for the IO plan)."""
+        cached = self._prefix_docs.get(prefix)
+        if cached is None:
+            cached = self.expansion_union(self.eng.expand_prefix(prefix))
+            self._prefix_docs[prefix] = cached
+        return cached, len(cached)
+
+    def expansion_union(self, terms: list[str]) -> np.ndarray:
+        """Union of the expanded terms' docs, restricted to the range (the
+        constant-score multi-term rewrite for prefix/wildcard/fuzzy through
+        the scatter path).  Hybrid IO plan: terms with many posting blocks go
+        through the block-pruned per-term read (IO = the range's share); the
+        long tail of small terms — an expansion can hit thousands — batches
         into ONE ``term IN (...)`` read per (partition, salt) file (their
         whole lists are at most a few blocks, so range pruning buys nothing
         but per-read overhead dominates)."""
-        cached = self._prefix_docs.get(prefix)
-        if cached is None:
-            eng = self.eng
-            flags = np.zeros(self.hi - self.lo, dtype=bool)
-            # a per-term ranged read costs ~ms of parquet open/footer work;
-            # it only beats the batched IN-read when the doc-range pruning
-            # saves a corpus-scale fraction of the decode
-            big_cut = max(10 * eng.config.block_size, eng.n_docs // 64)
-            grouped: dict[tuple[int, int], list[str]] = {}
-            for term in eng.expand_prefix(prefix):
-                pk = eng._pkey(term)
-                if eng.term_df(term) >= big_cut:
-                    d, _f, _L = self._postings_range(term)
-                    if len(d):
-                        flags[d - self.lo] = True
-                else:
-                    for salt in eng._salts(term):
-                        grouped.setdefault((pk, salt), []).append(term)
-            for (pk, salt), terms in grouped.items():
-                path = blocks_file(eng.index_dir, pk, salt, eng._parts)
-                if not os.path.exists(path):
-                    continue
-                bt = pq.read_table(
-                    path,
-                    columns=["n", "docs", "tfs", "dls"],
-                    filters=[("term", "in", terms)],
-                )
-                if len(bt) == 0:
-                    continue
-                d, _f, _L = decode_blocks_table(bt)
-                m = (d >= self.lo) & (d < self.hi)
-                if m.any():
-                    flags[d[m] - self.lo] = True
-            if len(self._dead_local):
-                flags[self._dead_local] = False
-            cached = np.nonzero(flags)[0].astype(np.int64) + self.lo
-            self._prefix_docs[prefix] = cached
-        return cached, len(cached)
+        eng = self.eng
+        flags = np.zeros(self.hi - self.lo, dtype=bool)
+        # a per-term ranged read costs ~ms of parquet open/footer work;
+        # it only beats the batched IN-read when the doc-range pruning
+        # saves a corpus-scale fraction of the decode
+        big_cut = max(10 * eng.config.block_size, eng.n_docs // 64)
+        grouped: dict[tuple[int, int], list[str]] = {}
+        for term in terms:
+            pk = eng._pkey(term)
+            if eng.term_df(term) >= big_cut:
+                d, _f, _L = self._postings_range(term)
+                if len(d):
+                    flags[d - self.lo] = True
+            else:
+                for salt in eng._salts(term):
+                    grouped.setdefault((pk, salt), []).append(term)
+        for (pk, salt), small in grouped.items():
+            path = blocks_file(eng.index_dir, pk, salt, eng._parts)
+            if not os.path.exists(path):
+                continue
+            bt = pq.read_table(
+                path,
+                columns=["n", "docs", "tfs", "dls"],
+                filters=[("term", "in", small)],
+            )
+            if len(bt) == 0:
+                continue
+            d, _f, _L = decode_blocks_table(bt)
+            m = (d >= self.lo) & (d < self.hi)
+            if m.any():
+                flags[d[m] - self.lo] = True
+        if len(self._dead_local):
+            flags[self._dead_local] = False
+        return np.nonzero(flags)[0].astype(np.int64) + self.lo
 
 
 from collections import OrderedDict as _OrderedDict
@@ -1941,6 +1947,21 @@ def _eval_range_batch(
             elif kind == "prefix_content":
                 docs, _n = rng.prefix_union(q.get("prefix") or "")
                 docs = docs[: min(k, k_cap)]  # constant score → lowest ids win
+                scores = np.ones(len(docs), dtype=np.float64)
+            elif kind in ("wildcard", "fuzzy"):
+                # expansion from the PROCESS-cached dictionaries (same on
+                # every range of a worker; the per-pattern result is LRU'd
+                # in the engine's expansion cache)
+                if kind == "wildcard":
+                    terms_x = rng.eng.expand_wildcard(q.get("pattern") or "")
+                else:
+                    terms_x = rng.eng.expand_fuzzy(
+                        q.get("term") or "",
+                        int(q.get("max_edits") or 1),
+                        int(q.get("prefix_length") or 0),
+                        bool(q.get("transpositions", True)),
+                    )
+                docs = rng.expansion_union(terms_x)[: min(k, k_cap)]
                 scores = np.ones(len(docs), dtype=np.float64)
             elif kind == "count":
                 _docs, n = rng.union_count(rng.eng.analyzer.tokenize(q.get("text") or ""))

@@ -115,6 +115,27 @@ def test_fuzzy_content_docs(engine, doc_vocab):
     assert got["doc_id"].to_pylist() == want and want
 
 
+def test_expansion_scatter_identical_to_single_engine(engine):
+    """wildcard/fuzzy through the doc-range scatter path == direct engine."""
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    queries = [
+        {"query_id": 0, "kind": "wildcard", "pattern": "id_0000*", "k": 12},
+        {"query_id": 1, "kind": "fuzzy", "term": "retur", "k": 7, "from": 2},
+        {"query_id": 2, "kind": "fuzzy", "term": "dfe", "k": 5,
+         "transpositions": False},  # no hits in the Levenshtein flavor
+    ]
+    out = batch_search_scatter(engine.index_dir, queries, n_ranges=4)
+    for q, want in [
+        (queries[0], engine.wildcard_content("id_0000*", k=12)),
+        (queries[1], engine.fuzzy_content("retur", k=7, offset=2)),
+        (queries[2], engine.fuzzy_content("dfe", k=5, transpositions=False)),
+    ]:
+        got = out.filter(np.array(out["query_id"].to_numpy() == q["query_id"]))
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist(), q
+        assert got["rank"].to_pylist() == want["rank"].to_pylist(), q
+
+
 def test_no_match_expansions_empty(engine):
     assert engine.expand_wildcard("qqq*zzz") == []
     assert engine.wildcard_content("qqq*zzz").num_rows == 0
