@@ -10,13 +10,15 @@ re-expressed as ray.data.Dataset pipelines over zero-copy Arrow batches.
 """
 
 from librecatastro_ray.config import IndexConfig
-from librecatastro_ray.pipelines.build import build_index
+from librecatastro_ray.pipelines.build import add_documents, build_index, compact_index
 from librecatastro_ray.pipelines.query import QueryEngine, delete_by_query
 from librecatastro_ray.state.manifest import delete_docs, drop_index
 
 __all__ = [
     "IndexConfig",
     "build_index",
+    "add_documents",
+    "compact_index",
     "QueryEngine",
     "delete_docs",
     "delete_by_query",

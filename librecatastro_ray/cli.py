@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--corpus", required=True)
     a.add_argument("--index", required=True)
 
+    cp = sub.add_parser("compact", help="rebuild without tombstones "
+                        "(Lucene merge; target must be a new dir)")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--target", required=True)
+
     dd = sub.add_parser("delete", help="tombstone documents by id or by query")
     dd.add_argument("--index", required=True)
     dd.add_argument("--doc-ids", nargs="*", type=int, default=None)
@@ -130,6 +135,18 @@ def main(argv: list[str] | None = None) -> int:
 
         res = add_documents(args.corpus, args.index)
         print(json.dumps(res["report"]))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "compact":
+        _init_ray()
+        from librecatastro_ray.pipelines.build import compact_index
+
+        res = compact_index(args.index, args.target)
+        print(json.dumps({"n_docs": res["manifest"]["n_docs"],
+                          "target": args.target}))
         import ray
 
         ray.shutdown()

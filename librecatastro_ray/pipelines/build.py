@@ -557,3 +557,44 @@ def add_documents(corpus: Any, index_dir: str) -> dict:
     shutil.rmtree(spill_path, ignore_errors=True)
     report["n_docs"] = n_docs
     return {"manifest": manifest, "report": report}
+
+
+def compact_index(index_dir: str, target_dir: str) -> dict:
+    """Compaction (the Lucene segment merge that RECLAIMS deletes): rebuild
+    ``target_dir`` from ``index_dir``'s LIVE documents only.  After
+    compaction the documented stats drift of deletes/adds is gone —
+    N / avgdl / df count live docs exactly, ids re-densify by the canonical
+    (repo, path) order, and the result is BIT-IDENTICAL to a fresh
+    ``build_index`` over the live corpus (pinned by test).
+
+    Reads the doc store's live rows as the corpus (content is already
+    deduped and carried in ``docs/``), so compaction cost equals one build
+    over the live corpus minus crawling/derivation.  ``target_dir`` must not
+    be the source (the source stays readable throughout — the caller swaps
+    directories, or just points new engines at the target)."""
+    import numpy as np
+
+    from librecatastro_ray.state.manifest import load_deleted
+
+    if os.path.abspath(target_dir) == os.path.abspath(index_dir):
+        raise ValueError("compact_index needs a distinct target_dir "
+                         "(the source stays readable during compaction)")
+    manifest = load_manifest(index_dir)
+    config = IndexConfig.from_json(manifest["config"])
+    dead = load_deleted(index_dir)
+    dead_ref = ray.put(dead)
+
+    def _live(batch: pa.Table) -> pa.Table:
+        d = ray.get(dead_ref) if not isinstance(dead_ref, np.ndarray) else dead_ref
+        if len(d) == 0:
+            return batch.select(CORPUS_COLUMNS)
+        ids = batch["doc_id"].to_numpy()
+        idx = np.searchsorted(d, ids)
+        idx[idx == len(d)] = len(d) - 1
+        alive = d[idx] != ids
+        return batch.filter(pa.array(alive)).select(CORPUS_COLUMNS)
+
+    live_ds = _read_sized(
+        os.path.join(index_dir, "docs"), ["doc_id"] + CORPUS_COLUMNS
+    ).map_batches(_live, batch_format="pyarrow", batch_size=1024)
+    return build_index(live_ds, target_dir, config, resume=False)

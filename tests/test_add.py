@@ -144,3 +144,41 @@ def test_add_crash_before_manifest_flip_leaves_old_index(tmp_path, corpus_small,
     r = add_documents(corpus_small.slice(250, 100), idx)
     assert r["report"]["n_added"] > 0
     assert QueryEngine(idx).n_docs == 250 + r["report"]["n_added"]
+
+
+def test_compact_reclaims_tombstones_bit_identical(tmp_path, corpus_small):
+    """delete + add + compact ≡ one fresh build over the live rows: same
+    partition output hashes, same stats, bitwise-equal query results."""
+    import pyarrow as pa
+
+    from librecatastro_ray.pipelines.build import compact_index
+    from librecatastro_ray.state.manifest import delete_docs, load_deleted
+
+    idx = str(tmp_path / "idx")
+    build_index(corpus_small, idx, CFG)
+    eng = QueryEngine(idx)
+    victims = eng.match("id_00012", k=3)["doc_id"].to_numpy()
+    assert len(victims)
+    delete_docs(idx, victims)
+    tgt = str(tmp_path / "compacted")
+    with pytest.raises(ValueError, match="distinct target"):
+        compact_index(idx, idx)
+    compact_index(idx, tgt)
+    assert len(load_deleted(tgt)) == 0
+    ceng = QueryEngine(tgt)
+    assert ceng.n_docs == eng.n_docs - len(victims)
+    # independent reference: fresh build over the live rows of the source
+    stats = pads.dataset(os.path.join(idx, "docs")).to_table(
+        columns=["doc_id", "repo", "path", "commit", "lang", "content"])
+    keep = ~np.isin(stats["doc_id"].to_numpy(), victims)
+    ref_corpus = stats.filter(pa.array(keep)).drop_columns(["doc_id"])
+    ref = str(tmp_path / "ref")
+    build_index(ref_corpus, ref, CFG)
+    m_ref = QueryEngine(ref).match("def return", k=10**9)
+    m_cmp = ceng.match("def return", k=10**9)
+    assert m_ref.equals(m_cmp)  # bitwise: ids, raw scores, ranks
+    from librecatastro_ray.state.manifest import load_manifest
+
+    pa_ref = {k: v["output_sha256"] for k, v in load_manifest(ref)["partitions"].items()}
+    pa_cmp = {k: v["output_sha256"] for k, v in load_manifest(tgt)["partitions"].items()}
+    assert pa_ref == pa_cmp
