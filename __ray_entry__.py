@@ -987,7 +987,48 @@ SELECT d.doc_id, (d.nbx*8)::BIGINT AS width, (d.nby*8)::BIGINT AS height,
 FROM d JOIN sums s USING (doc_id) JOIN ah USING (doc_id)
 """
 
-# the case-tagged image-decode suite: all three REAL codecs, one entry
+# REAL GIF decode replay: the generation rule (multimodal.py GIF rule) —
+# 16-entry palette (17i, 29i%256, 53i%256), pixel index (doc_id*7 + x//3
+# + y) % 16 — recomputed per pixel; the engine runs the full GIF parse +
+# variable-width LZW decode, so any codec bug breaks the hash match.
+
+
+def _gif_ci(xe: str, ye: str) -> str:
+    """SQL for the GIF palette index at pixel (xe, ye)."""
+    return f"((d.doc_id*7 + ({xe}) // 3 + ({ye})) % 16)"
+
+
+_MM_GIF_SQL = f"""
+WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents),
+gpx AS (
+  SELECT doc_id, {_gif_ci("i.i % w", "i.i // w")} AS ci
+  FROM d, unnest(range(0, w*h)) i(i)
+),
+sums AS (SELECT doc_id, sum(17*ci)::BIGINT AS sum_r,
+                sum((29*ci) % 256)::BIGINT AS sum_g,
+                sum((53*ci) % 256)::BIGINT AS sum_b
+         FROM gpx GROUP BY doc_id),
+lum AS (
+  SELECT d.doc_id, k.k AS k,
+         (17*{_gif_ci("((k.k % 8) * d.w) // 8", "((k.k // 8) * d.h) // 8")})*299
+         + ((29*{_gif_ci("((k.k % 8) * d.w) // 8", "((k.k // 8) * d.h) // 8")}) % 256)*587
+         + ((53*{_gif_ci("((k.k % 8) * d.w) // 8", "((k.k // 8) * d.h) // 8")}) % 256)*114 AS L
+  FROM d, unnest(range(0, 64)) k(k)
+),
+lt AS (SELECT doc_id, k, L, sum(L) OVER (PARTITION BY doc_id) AS tot FROM lum),
+ah AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN k < 63 AND 64*L > tot
+                       THEN (1::UBIGINT << k::UBIGINT) ELSE 0::UBIGINT END)::HUGEINT
+              AS BIGINT) AS ahash
+  FROM lt GROUP BY doc_id
+)
+SELECT d.doc_id, d.w::BIGINT AS width, d.h::BIGINT AS height,
+       s.sum_r, s.sum_g, s.sum_b, ah.ahash
+FROM d JOIN sums s USING (doc_id) JOIN ah USING (doc_id)
+"""
+
+# the case-tagged image-decode suite: all four REAL codecs, one entry
 _MM_IMAGE_SUITE_SQL = f"""
 SELECT doc_id, 'ppm' AS fmt, width, height, 3::BIGINT AS channels,
        sum_r, sum_g, sum_b, 0::BIGINT AS sum_a, ahash
@@ -1000,6 +1041,10 @@ UNION ALL
 SELECT doc_id, 'jpeg' AS fmt, width, height, channels,
        sum_r, sum_g, sum_b, sum_a, ahash
 FROM ({_MM_JPEG_SQL})
+UNION ALL
+SELECT doc_id, 'gif' AS fmt, width, height, 3::BIGINT AS channels,
+       sum_r, sum_g, sum_b, 0::BIGINT AS sum_a, ahash
+FROM ({_MM_GIF_SQL})
 """
 
 _MM_AUDIO_SQL = """

@@ -895,7 +895,7 @@ _SUITE_COLS = ["doc_id", "fmt", "width", "height", "channels",
 
 
 def image_feature_suite(sf_dir: str) -> ray.data.Dataset:
-    """All three REAL image decoders (PPM, PNG, baseline JPEG) as one
+    """All four REAL image decoders (PPM, PNG, baseline JPEG, GIF-LZW) as one
     case-tagged suite with a harmonized schema — the single driver-facing
     entry for SURVEY §2 A5 image decode.  PPM rows: channels = 3,
     sum_a = 0; JPEG (grayscale) rows: channels = 1,
@@ -917,7 +917,9 @@ def image_feature_suite(sf_dir: str) -> ray.data.Dataset:
         tag("png", {}), batch_format="pyarrow")
     jpg = jpeg_features(sf_dir).map_batches(
         tag("jpeg", {}), batch_format="pyarrow")
-    return ppm.union(png).union(jpg)
+    gif = gif_features(sf_dir).map_batches(
+        tag("gif", {"channels": 3, "sum_a": 0}), batch_format="pyarrow")
+    return ppm.union(png).union(jpg).union(gif)
 
 
 def png_features(sf_dir: str) -> ray.data.Dataset:
@@ -1025,4 +1027,255 @@ def audio_suite(sf_dir: str, frame_len: int = 32) -> ray.data.Dataset:
     return multimodal_payloads(sf_dir).map_batches(
         AudioSuite, fn_constructor_kwargs={"frame_len": frame_len},
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF89a, palette + REAL LZW) — the fourth real image codec.
+# Reference analogue: the base64 plan pictures the scrapper fetches
+# (reference: src/librecatastro/scrapping/scrapper.py:163-171); GIF87a/89a is
+# the other classic web image format next to PNG/JPEG.  Variable-width LSB-
+# first LZW per the GIF89a spec: initial width = mcs+1, CLEAR = 2^mcs,
+# EOI = CLEAR+1, table capped at 4096 (CLEAR emitted on overflow), decoder
+# handles the KwKwK case.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress(indices: np.ndarray, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w: tuple = ()
+    for k in indices.tolist():
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = (k,)
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int) -> np.ndarray:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    pos = 0
+    width = mcs + 1
+    table: list[tuple] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple | None = None
+
+    def read() -> int:
+        nonlocal pos
+        if pos + width > len(bits):
+            raise ValueError("truncated LZW stream")
+        v = int((bits[pos : pos + width] << np.arange(width, dtype=np.uint32)).sum())
+        pos += width
+        return v
+
+    while True:
+        code = read()
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return np.array(out, dtype=np.int64)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """GIF89a: (h, w) palette indices + (n, 3) palette → file bytes.
+    Palette padded to a power of two (min 4 entries, GIF's 2-bit floor)."""
+    h, w = indices.shape
+    n = len(palette)
+    bpp = max(2, int(np.ceil(np.log2(max(n, 2)))))
+    pal = np.zeros((1 << bpp, 3), dtype=np.uint8)
+    pal[:n] = palette
+    head = b"GIF89a" + struct.pack(
+        "<HHBBB", w, h, 0x80 | ((bpp - 1) << 4) | (bpp - 1), 0, 0
+    ) + pal.tobytes()
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_compress(indices.reshape(-1), bpp)
+    blocks = bytearray([bpp])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return head + img + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Full GIF parse: header, logical screen descriptor, global color
+    table, extension skip, image descriptor, sub-block reassembly, LZW
+    decode, palette mapping → (w, h, rgb uint8 (h, w, 3))."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf[pos : pos + 3 * ncol], np.uint8).reshape(ncol, 3)
+        pos += 3 * ncol
+    def _at(i: int) -> int:
+        if i >= len(buf):
+            raise ValueError("truncated GIF")
+        return buf[i]
+
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while _at(pos) != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack("<HHHHB", buf[pos : pos + 9])
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                ncol = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(buf[pos : pos + 3 * ncol], np.uint8).reshape(ncol, 3)
+                pos += 3 * ncol
+            if pal is None:
+                raise ValueError("no color table")
+            mcs = _at(pos)
+            pos += 1
+            data = bytearray()
+            while _at(pos) != 0:
+                ln = buf[pos]
+                if pos + 1 + ln > len(buf):
+                    raise ValueError("truncated GIF sub-block")
+                data += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decompress(bytes(data), mcs)
+            if len(idx) < w * h:
+                raise ValueError(f"GIF pixel underrun: {len(idx)} < {w * h}")
+            idx = idx[: w * h].reshape(h, w)
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("palette index out of range")
+            return w, h, pal[idx]
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("no image data in GIF")
+
+
+# GIF rule (replayed by the gif leg of the image-suite oracle): w = 8 +
+# doc_id % 9, h = 6 + doc_id % 5, 16-entry palette (r, g, b) =
+# (17*i, (29*i) % 256, (53*i) % 256), pixel index at (x, y) =
+# (doc_id*7 + x//3 + y) % 16 — horizontal runs of 3 give the LZW real
+# matches, and the oracle recomputes the features from this rule while the
+# engine runs the full parse + LZW decode: any codec bug breaks the hash.
+
+
+def _synth_gif(doc_id: int) -> bytes:
+    w, h = 8 + doc_id % 9, 6 + doc_id % 5
+    i = np.arange(16, dtype=np.int64)
+    palette = np.stack([17 * i, (29 * i) % 256, (53 * i) % 256], axis=1).astype(np.uint8)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    idx = (doc_id * 7 + x // 3 + y) % 16
+    return encode_gif(idx, palette)
+
+
+def gif_payloads(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, image_gif) binary-column source for the GIF decode stage."""
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "image_gif": pa.array(
+                [_synth_gif(int(d)) for d in t["doc_id"].to_numpy()], pa.binary()),
+        })
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+class GifFeatures:
+    """Actor-pool decode stage over REAL GIFs: full parse + variable-width
+    LZW decode + palette mapping (decode_gif), then the shared integer-exact
+    image features (channels = 3, sum_a = 0)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("width", "height",
+                               "sum_r", "sum_g", "sum_b", "ahash")}
+        for buf in batch["image_gif"]:
+            w, h, rgb = decode_gif(buf.as_py())
+            px = rgb.astype(np.int64)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sum_r"].append(int(px[:, :, 0].sum()))
+            out["sum_g"].append(int(px[:, :, 1].sum()))
+            out["sum_b"].append(int(px[:, :, 2].sum()))
+            sy = (np.arange(8) * h) // 8
+            sx = (np.arange(8) * w) // 8
+            small = px[sy][:, sx]
+            luma = (small[:, :, 0] * 299 + small[:, :, 1] * 587
+                    + small[:, :, 2] * 114).reshape(-1)
+            bits = (64 * luma > luma.sum()).astype(np.uint64)
+            ahash = int((bits << np.arange(64, dtype=np.uint64)).sum())
+            out["ahash"].append(ahash % (1 << 63))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
+def gif_features(sf_dir: str) -> ray.data.Dataset:
+    return gif_payloads(sf_dir).map_batches(
+        GifFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )

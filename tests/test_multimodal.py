@@ -496,3 +496,72 @@ def test_audio_suite_equals_features_join_frames():
         assert suite[col].to_pylist() == feats[col].to_pylist()
     for col in ("n_frames", "max_frame_energy", "peak_frame"):
         assert suite[col].to_pylist() == frames[col].to_pylist()
+
+
+def test_gif_lzw_roundtrip_and_overflow():
+    from librecatastro_ray.pipelines.multimodal import _lzw_compress, _lzw_decompress
+
+    rng = np.random.default_rng(3)
+    for mcs in (2, 4, 8):
+        for n in (1, 7, 300, 20000):  # 20000 forces a 4096-table CLEAR reset
+            idx = rng.integers(0, 1 << mcs, n).astype(np.int64)
+            back = _lzw_decompress(_lzw_compress(idx, mcs), mcs)
+            assert (back == idx).all(), (mcs, n)
+    # KwKwK stress: immediate repeats hit the code == len(table) branch
+    idx = np.array([1, 1, 1, 1, 2, 2, 2, 2, 1, 1, 1, 1] * 64, dtype=np.int64)
+    assert (_lzw_decompress(_lzw_compress(idx, 2), 2) == idx).all()
+
+
+def test_gif_handbuilt_bytes_decode():
+    """A GIF built BY HAND (independent of encode_gif) decodes to known
+    pixels — guards against a symmetric encoder/decoder co-bug."""
+    import struct
+
+    from librecatastro_ray.pipelines.multimodal import decode_gif
+
+    bits = "".join(format(code, "03b")[::-1] for code in (4, 1, 2, 1, 5))
+    data = bytes(
+        int(bits[i : i + 8].ljust(8, "0")[::-1], 2) for i in range(0, len(bits), 8)
+    )
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 11, 22, 33])
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 3, 1, 0x80 | (1 << 4) | 1, 0, 0) + pal
+           + b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 1, 0)
+           + bytes([2, len(data)]) + data + b"\x00\x3b")
+    w, h, rgb = decode_gif(gif)
+    assert (w, h) == (3, 1)
+    assert rgb.tolist() == [[[40, 50, 60], [70, 80, 90], [40, 50, 60]]]
+
+
+def test_gif_roundtrip_matches_generation_rule():
+    from librecatastro_ray.pipelines.multimodal import _synth_gif, decode_gif
+
+    for d in (0, 5, 123, 999, 4444):
+        w, h, rgb = decode_gif(_synth_gif(d))
+        assert (w, h) == (8 + d % 9, 6 + d % 5)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        idx = (d * 7 + x // 3 + y) % 16
+        i = np.arange(16)
+        palette = np.stack([17 * i, (29 * i) % 256, (53 * i) % 256], axis=1)
+        assert (rgb == palette[idx]).all(), d
+
+
+def test_gif_guards():
+    from librecatastro_ray.pipelines.multimodal import (_synth_gif, decode_gif,
+                                                        encode_gif)
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    buf = _synth_gif(7)
+    with pytest.raises(ValueError):  # torn sub-blocks / truncated LZW
+        decode_gif(buf[:-8])
+    # pixel underrun: an encoded 2x2 image presented as 4x2
+    small = encode_gif(np.zeros((2, 2), dtype=np.int64),
+                       np.zeros((4, 3), dtype=np.uint8))
+    grown = bytearray(small)
+    import struct as _s
+    grown[6:8] = _s.pack("<H", 4)  # screen width
+    ix = small.index(b"\x2c")
+    grown[ix + 5 : ix + 7] = _s.pack("<H", 4)  # image width
+    with pytest.raises(ValueError, match="underrun"):
+        decode_gif(bytes(grown))
