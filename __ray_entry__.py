@@ -620,6 +620,29 @@ def _q_hits_total(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_agg_suite(sf_dir: str) -> pa.Table:
+    """hits.total probes + ES ``terms`` aggregations as one case-tagged
+    entry with schema (q, key, count): the aggs run over the query's FULL
+    hit set (every matching doc — ES semantics), streamed from the doc
+    store with a sorted-membership mask."""
+    eng = _engine(sf_dir)
+    totals = pa.table(
+        {
+            "key": pa.array(_HIT_PROBES, pa.string()),
+            "count": pa.array([eng.count(p) for p in _HIT_PROBES], pa.int64()),
+        }
+    )
+    cases = [
+        ("hits_total", totals),
+        ("terms_lang", eng.terms_agg("lang", eng.match_hits("table"), size=10)),
+        ("terms_repo", eng.terms_agg("repo", eng.match_hits("merge group"), size=5)),
+    ]
+    return pa.concat_tables(
+        t.append_column("q", pa.array([name] * len(t), pa.string()))
+        for name, t in cases
+    )
+
+
 def _q_ivf_topk(sf_dir: str) -> pa.Table:
     from librecatastro_ray.pipelines.training import ivf_topk
 
@@ -693,7 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_ref_probe": _q_bool_ref_probe_suite,
         "prefix_keyword": _q_prefix_keyword,
         "term_expansion": _q_term_expansion,
-        "hits_total": _q_hits_total,
+        "agg_suite": _q_agg_suite,
         # --- text analysis (training-data ops)
         # quality_scores folds in the BPE-ish pre-token count AND the
         # marker-word language-ID columns (ONE corpus pass, one registry
@@ -1337,14 +1360,29 @@ SELECT rank, doc_id, score FROM (
 {_BASE_CTE}
 SELECT doc_id, repo, path FROM ids WHERE path LIKE 'docs/en/%'
 """,
-        "hits_total": f"""
+        "agg_suite": _suite_sql([
+            ("hits_total", f"""
 {_BASE_CTE}
-SELECT p.probe,
+SELECT p.probe AS key,
        coalesce((SELECT count(DISTINCT tf.doc_id) FROM tf
                  WHERE tf.term IN (SELECT unnest(list_filter(
-                     regexp_split_to_array(lower(p.probe), '[^a-z0-9_]+'), t -> t <> '')))), 0)::BIGINT AS total
+                     regexp_split_to_array(lower(p.probe), '[^a-z0-9_]+'), t -> t <> '')))), 0)::BIGINT AS count
 FROM (VALUES ('table'), ('value fast'), ('zzz_no_such_term')) p(probe)
-""",
+"""),
+            ("terms_lang", f"""
+{_BASE_CTE}
+SELECT lang AS key, count(*)::BIGINT AS count
+FROM ids WHERE doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'table')
+GROUP BY lang ORDER BY count DESC, key ASC LIMIT 10
+"""),
+            ("terms_repo", f"""
+{_BASE_CTE}
+SELECT repo AS key, count(*)::BIGINT AS count
+FROM ids WHERE doc_id IN
+    (SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'group'))
+GROUP BY repo ORDER BY count DESC, key ASC LIMIT 5
+"""),
+        ]),
         "quality_scores": rf"""
 WITH f AS (
     SELECT doc_id,

@@ -1200,6 +1200,51 @@ class QueryEngine:
             self._prefix_cache[key] = result
         return result
 
+    def terms_agg(
+        self,
+        field: str,
+        hits: np.ndarray,
+        size: int = 10,
+    ) -> pa.Table:
+        """ES ``terms`` aggregation: value counts of a keyword field over a
+        query's FULL hit set (ES aggs see every matching doc, not the top-k
+        page).  ``hits`` is the sorted doc-id array of the query (from
+        ``_union_docs`` / a bool evaluation — already tombstone-filtered).
+
+        Streams the doc store in Arrow batches, masks membership with a
+        searchsorted against the sorted hit set, and value-counts per batch
+        (never materializes (doc, value) rows for non-hits) — the same
+        shape a corpus-scale agg needs.  Output pinned by
+        (count desc, key asc), ES's ordering."""
+        hits = np.asarray(hits, dtype=np.int64)
+        counts: dict[str, int] = {}
+        scanner = self._docstats_ds().scanner(columns=["doc_id", field])
+        for batch in scanner.to_batches():
+            if len(batch) == 0:
+                continue
+            d = batch.column(0).to_numpy()
+            m = _in_sorted(d, hits)
+            if not m.any():
+                continue
+            vals = batch.column(1).filter(pa.array(m))
+            vc = vals.value_counts()
+            for kv in vc:
+                key = kv["values"].as_py()
+                counts[key] = counts.get(key, 0) + int(kv["counts"].as_py())
+        order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+        return pa.table(
+            {
+                "key": pa.array([k for k, _ in order], pa.string()),
+                "count": pa.array([c for _, c in order], pa.int64()),
+            }
+        )
+
+    def match_hits(self, text: str) -> np.ndarray:
+        """ALL doc ids matching a match query (OR union, tombstone-filtered,
+        unranked) — the hit set ES aggregations run over."""
+        docs = self._union_docs(self.analyzer.tokenize(text))
+        return np.zeros(0, dtype=np.int64) if docs is None else docs
+
     def count(self, text: str) -> int:
         """Q5: exact hits.total of a match query."""
         docs = self._union_docs(self.analyzer.tokenize(text))

@@ -354,3 +354,43 @@ def test_scatter_sink_rerun_overwrites(built_index, tmp_path):
     a = batch_search_scatter(index_dir, q, n_ranges=2, output_dir=od)
     b = batch_search_scatter(index_dir, q, n_ranges=2, output_dir=od)
     assert a["rows_written"][0].as_py() == b["rows_written"][0].as_py() == 5
+
+
+def test_terms_agg_matches_bruteforce(engine):
+    import os
+
+    import pyarrow.dataset as pads
+
+    from librecatastro_ray.functions.tokenizer import tokenize
+
+    t = pads.dataset(os.path.join(engine.index_dir, "docs")).to_table(
+        columns=["doc_id", "lang", "repo", "content"])
+    rows = list(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+                    t["repo"].to_pylist(), t["content"].to_pylist()))
+    for text, field, col in [("def", "lang", 1), ("def return", "repo", 2)]:
+        terms = set(tokenize(text))
+        want: dict[str, int] = {}
+        for r in rows:
+            if terms & set(tokenize(r[3])):
+                want[r[col]] = want.get(r[col], 0) + 1
+        expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = engine.terms_agg(field, engine.match_hits(text), size=10)
+        assert list(zip(got["key"].to_pylist(), got["count"].to_pylist())) == expect
+
+
+def test_terms_agg_excludes_tombstones(tmp_path, corpus_small):
+    from librecatastro_ray.config import IndexConfig
+    from librecatastro_ray.pipelines.build import build_index
+    from librecatastro_ray.pipelines.query import QueryEngine
+    from librecatastro_ray.state.manifest import delete_docs
+
+    idx = str(tmp_path / "idx")
+    build_index(corpus_small, idx, IndexConfig(num_partitions=2, num_salts=1))
+    eng = QueryEngine(idx)
+    before = eng.terms_agg("lang", eng.match_hits("def"), size=100)
+    total_before = sum(before["count"].to_pylist())
+    victims = eng.match_hits("def")[:5]
+    delete_docs(idx, victims)
+    eng2 = QueryEngine(idx)
+    after = eng2.terms_agg("lang", eng2.match_hits("def"), size=100)
+    assert sum(after["count"].to_pylist()) == total_before - 5
