@@ -245,6 +245,7 @@ def _bm25_sql(
     offset: int = 0,
     exclude_lang: str | None = None,
     ids_order: str = "repo, path",
+    dl_range: tuple | None = None,
 ) -> str:
     """BM25 top-k SQL over the derived corpus (exact engine formula:
     k1=1.2, b=0.75, idf=ln(1+(N-df+0.5)/(df+0.5))).  ``should`` terms score
@@ -280,6 +281,13 @@ def _bm25_sql(
         lang_join += (
             f" JOIN ids AS idp ON idp.doc_id = tf.doc_id"
             f" AND idp.path LIKE '{path_prefix}%'"
+        )
+        extra_score += " + 1.0"
+    if dl_range is not None:
+        # ES range clause replay: filter-context join + constant score 1.0
+        lang_join += (
+            f" JOIN dl AS dlr ON dlr.doc_id = tf.doc_id"
+            f" AND dlr.dl BETWEEN {dl_range[0]} AND {dl_range[1]}"
         )
         extra_score += " + 1.0"
     return f"""
@@ -486,13 +494,15 @@ def _q_bool_must(
     path_prefix: str | None = None,
     must_not: list[str] | None = None,
     should: list[str] | None = None,
+    dl_range: tuple | None = None,
 ) -> pa.Table:
     kw = [("lang", lang_eq)] if lang_eq else None
     kp = [("path", path_prefix)] if path_prefix else None
+    rng = [("dl", dl_range[0], dl_range[1])] if dl_range else None
     return _rounded_rank(
         _engine(sf_dir).bool_must(
             terms, k=10**9, keyword_eq=kw, keyword_prefix=kp,
-            must_not_terms=must_not, should_terms=should,
+            must_not_terms=must_not, should_terms=should, range_clauses=rng,
         ),
         k,
     )
@@ -547,6 +557,8 @@ def _q_bool_variants(sf_dir: str) -> pa.Table:
         # pure must_not = ES match_all minus the exclusions (constant score)
         ("not_only", _q_bool_must(sf_dir, [], 10, must_not=["table"])),
         ("should", _q_bool_must(sf_dir, ["table"], 10, should=["fast", "merge"])),
+        # ES range filter clause (numeric, filter-context constant score)
+        ("must_range", _q_bool_must(sf_dir, ["table"], 10, dl_range=(40, 70))),
     ]
     return pa.concat_tables(
         t.append_column("q", pa.array([name] * len(t), pa.string()))
@@ -1338,6 +1350,8 @@ FROM stats s
             ("must2", _bm25_sql(["fast", "slow"], 10, must_all=True)),
             ("must_lang", _bm25_sql(["table"], 10, must_all=True, lang_eq="en")),
             ("must_not", _bm25_sql(["table"], 10, must_all=True, must_not=["slow"])),
+            ("must_range", _bm25_sql(["table"], 10, must_all=True,
+                                     dl_range=(40, 70))),
             ("not_only", f"""
 {_BASE_CTE}
 SELECT rank, doc_id, score FROM (

@@ -849,6 +849,7 @@ class QueryEngine:
         should_terms: list[str] | None = None,
         offset: int = 0,
         require_should: bool = False,
+        range_clauses: list[tuple] | None = None,
     ) -> pa.Table:
         """Q3: full bool query (reference: elasticsearch_utils.py:111-119 —
         the probe always carries must / should / must_not arrays, the latter
@@ -862,7 +863,8 @@ class QueryEngine:
         match_all minus the exclusions (constant score 1.0).  Uses
         block-level skipping: after the rarest clause fixes the candidate
         set, other clauses only decode blocks whose doc range intersects it."""
-        if not content_terms and not keyword_eq and not keyword_prefix and not should_terms:
+        if (not content_terms and not keyword_eq and not keyword_prefix
+                and not should_terms and not range_clauses):
             if not must_not_terms:
                 return _empty_result()
             # match_all minus exclusions
@@ -927,6 +929,13 @@ class QueryEngine:
                 kw_docs.append(d)
                 if shrink(d) == 0:
                     return _empty_result()
+        for field_name, gte, lte in range_clauses or []:
+            # ES range clause: filter-context, constant score 1.0 (same
+            # convention as the keyword clauses)
+            d = self.range_docs(field_name, gte, lte)
+            kw_docs.append(d)
+            if shrink(d) == 0:
+                return _empty_result()
         if n_cand < 0 or (require_should and should_terms):
             # pure-should (OR) — or minimum_should_match=1 with other clauses
             u = self._union_docs(list(should_terms or []))
@@ -1328,6 +1337,38 @@ class QueryEngine:
             t = t.filter(m)
         else:
             t = ds.to_table(columns=["doc_id"], filter=pads.field(field_name) == value)
+        out = np.sort(t["doc_id"].to_numpy())
+        self._keyword_cache[ck] = out
+        self._keyword_cache_size += len(out)
+        while self._keyword_cache_size > self._keyword_cache_cap and len(self._keyword_cache) > 1:
+            _, old_arr = self._keyword_cache.popitem(last=False)
+            self._keyword_cache_size -= len(old_arr)
+        return out
+
+    def range_docs(
+        self,
+        field_name: str,
+        gte: int | float | str | None = None,
+        lte: int | float | str | None = None,
+    ) -> np.ndarray:
+        """ES ``range`` filter clause on a doc-store field (numeric — e.g.
+        ``dl`` — or lexicographic on keyword columns), via parquet predicate
+        pushdown; same LRU as the keyword clauses (the scatter path slices
+        one global answer per range)."""
+        ck = (field_name, "range", gte, lte)
+        cached = self._keyword_cache.get(ck)
+        if cached is not None:
+            self._keyword_cache.move_to_end(ck)
+            return cached
+        f = None
+        if gte is not None:
+            f = pads.field(field_name) >= gte
+        if lte is not None:
+            g = pads.field(field_name) <= lte
+            f = g if f is None else f & g
+        if f is None:
+            raise ValueError("range_docs needs gte and/or lte")
+        t = self._docstats_ds().to_table(columns=["doc_id"], filter=f)
         out = np.sort(t["doc_id"].to_numpy())
         self._keyword_cache[ck] = out
         self._keyword_cache_size += len(out)

@@ -394,3 +394,34 @@ def test_terms_agg_excludes_tombstones(tmp_path, corpus_small):
     eng2 = QueryEngine(idx)
     after = eng2.terms_agg("lang", eng2.match_hits("def"), size=100)
     assert sum(after["count"].to_pylist()) == total_before - 5
+
+
+def test_range_clause_matches_bruteforce(engine):
+    import os
+
+    import pyarrow.dataset as pads
+
+    from librecatastro_ray.functions.tokenizer import tokenize
+
+    t = pads.dataset(os.path.join(engine.index_dir, "docs")).to_table(
+        columns=["doc_id", "dl", "content"])
+    rows = list(zip(t["doc_id"].to_pylist(), t["dl"].to_pylist(),
+                    t["content"].to_pylist()))
+    lo, hi = 40, 80
+    want_ids = sorted(d for d, dl, _c in rows if lo <= dl <= hi)
+    got = engine.range_docs("dl", lo, hi)
+    assert got.tolist() == want_ids
+    # open-ended bounds
+    assert engine.range_docs("dl", gte=90).tolist() == sorted(
+        d for d, dl, _ in rows if dl >= 90)
+    with pytest.raises(ValueError, match="gte and/or lte"):
+        engine.range_docs("dl")
+    # conjunction through bool_must: term AND range, constant +1.0
+    res = engine.bool_must(["def"], k=10**9, range_clauses=[("dl", lo, hi)])
+    want = sorted(
+        d for d, dl, c in rows if lo <= dl <= hi and "def" in tokenize(c))
+    assert sorted(res["doc_id"].to_pylist()) == want
+    base = engine.match("def", k=10**9)
+    base_scores = dict(zip(base["doc_id"].to_pylist(), base["score"].to_pylist()))
+    for d, s in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        assert s == pytest.approx(base_scores[d] + 1.0, abs=1e-12)
