@@ -456,6 +456,11 @@ def _q_term_expansion(sf_dir: str) -> pa.Table:
         ("wildcard", _rounded_rank(eng.wildcard_content("*alue", k=10**9), 10)),
         ("fuzzy", _rounded_rank(
             eng.fuzzy_content("tble", k=10**9, max_edits=1, transpositions=False), 10)),
+        # prefix_length narrowing (ES fuzzy prefix_length param): 2 exact
+        # leading chars required, wider edit budget
+        ("fuzzy_prefix", _rounded_rank(
+            eng.fuzzy_content("tale", k=10**9, max_edits=2, prefix_length=2,
+                              transpositions=False), 10)),
     ]
     return pa.concat_tables(
         t.append_column("q", pa.array([name] * len(t), pa.string()))
@@ -1326,6 +1331,8 @@ FROM ids i JOIN dl USING (doc_id)
             ("wildcard", _expansion_sql(
                 f"regexp_matches(term, '{_wildcard_regex('*alue')}')", 10)),
             ("fuzzy", _expansion_sql("levenshtein(term, 'tble') <= 1", 10)),
+            ("fuzzy_prefix", _expansion_sql(
+                "term LIKE 'ta%' AND levenshtein(term, 'tale') <= 2", 10)),
         ]),
         "index_global_stats": f"""
 {_BASE_CTE}
