@@ -2758,8 +2758,12 @@ def length_quantiles(
     })
 
 
+_SUBSTR_SCRATCH_ROOT = os.environ.get("LCRAY_SUBSTR_SCRATCH", "/tmp/lcray_substr")
+
+
 def dedup_substring(
-    sf_dir: str, k: int = 8, num_partitions: int | None = None
+    sf_dir: str, k: int = 8, num_partitions: int | None = None,
+    stats_out: dict | None = None,
 ) -> ray.data.Dataset:
     """Substring-level duplication profile (ExactSubstr-lite, after Lee et
     al. 2021 "Deduplicating Training Data Makes Language Models Better"):
@@ -2772,22 +2776,36 @@ def dedup_substring(
 
     Distributed shape (the 100 TB design): token-scale windows never leave
     their batch raw — stage 1 emits per-batch-distinct ``(g, doc_id, c)``
-    partials; a gram-keyed groupby sums global counts; grams with total > 1
-    are materialized (block barrier — required: the filter can empty the
-    join side, and two JoinOperators in one streaming DAG deadlock the
-    2.49 executor) and hash-joined back against the per-doc partials; the
-    per-doc base (every doc's window count, including dl < k docs with 0)
-    rides a UNION into one final doc-keyed groupby instead of an outer
-    join.  Every stage is Arrow-in/Arrow-out."""
-    import pyarrow.compute as pc
+    partials and writes them to scratch parquet hash-partitioned by
+    ``g % P`` (the "shuffle" rides the filesystem / object store, exactly
+    as it would on a 256-node cluster); stage 2 is P INDEPENDENT
+    per-partition tasks, each of which loads one partition, sums counts per
+    gram locally (partitioning by ``g`` means every occurrence of a gram is
+    in the same partition), and folds the >1-count grams straight into
+    per-doc duplicate-window partials.  No global groupby of the gram
+    table, no JoinOperator (the Ray 2.49 two-join deadlock never arises),
+    and — unlike the pre-round-5 shape — NO corpus-wide materialize(): peak
+    memory per task is ONE partition, ~1/P of the gram set, so P scales the
+    gram set out of any single heap.  The per-doc base (every doc's window
+    count, including dl < k docs with 0) rides a UNION into one final
+    doc-keyed groupby instead of an outer join.  Every stage is
+    Arrow-in/Arrow-out.
 
-    width = _shuffle_width(0, 1, num_partitions) if num_partitions else None
+    ``stats_out`` (optional dict) receives ``{"n_partitions",
+    "partition_rows", "max_partition_rows", "total_gram_rows"}`` measured
+    from the scratch parquet metadata — the boundedness evidence the scale
+    test asserts on."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    P = max(2, num_partitions) if num_partitions else min(64, max(16, n_cpus))
 
     def partial_grams(t: pa.Table) -> pa.Table:
         texts = pc.fill_null(t["text"].combine_chunks(), "")
         g, n_win = _token_gram_hashes(texts, k)
         did = np.repeat(t["doc_id"].to_numpy(), n_win)
-        key = g.astype(np.int64)  # wrap-cast: join/groupby key only
+        key = g.astype(np.int64)  # wrap-cast: partition/groupby key only
         order = np.lexsort((key, did))
         did_s, key_s = did[order], key[order]
         first = np.ones(len(order), dtype=bool)
@@ -2795,10 +2813,13 @@ def dedup_substring(
             first[1:] = (did_s[1:] != did_s[:-1]) | (key_s[1:] != key_s[:-1])
         starts = np.flatnonzero(first)
         c = np.diff(np.append(starts, len(order)))
+        ks = key_s[starts]
         return pa.table({
-            "g": pa.array(key_s[starts], pa.int64()),
+            "g": pa.array(ks, pa.int64()),
             "doc_id": pa.array(did_s[starts], pa.int64()),
             "c": pa.array(c.astype(np.int64), pa.int64()),
+            # non-negative partition id from the wrap-cast int64 hash
+            "part": pa.array((ks % P + P) % P, pa.int64()),
         })
 
     def base_rows(t: pa.Table) -> pa.Table:
@@ -2813,39 +2834,84 @@ def dedup_substring(
             "n_dup_windows": pa.array(np.zeros(len(t), np.int64), pa.int64()),
         })
 
-    grams = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
-        partial_grams, batch_format="pyarrow", batch_size=2048
-    )
-    dup = (
-        grams.groupby("g")
-        .aggregate(ray.data.aggregate.Sum("c", alias_name="tot"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["tot"], 1)).select(["g"]),
-            batch_format="pyarrow",
-        )
-        .materialize()  # barrier: single-join DAG + empty-side guard
-    )
     base = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         base_rows, batch_format="pyarrow", batch_size=2048
     )
-    if dup.count() == 0:
-        return base
-    n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
-    joined = grams.join(
-        dup, "inner", width or min(16, n_cpus), on=("g",)
+
+    # stage 1 (eager): per-doc gram partials → scratch parquet, hash-
+    # partitioned by g % P.  One directory per partition; a resumable /
+    # failed run re-derives only this scratch, never the output.
+    import uuid
+
+    scratch = os.path.join(_SUBSTR_SCRATCH_ROOT, uuid.uuid4().hex[:12])
+    os.makedirs(scratch, exist_ok=True)
+    _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        partial_grams, batch_format="pyarrow", batch_size=2048
+    ).write_parquet(scratch, partition_cols=["part"])
+
+    part_dirs = sorted(
+        d for d in os.listdir(scratch) if d.startswith("part=")
+    ) if os.path.isdir(scratch) else []
+    if stats_out is not None:
+        rows = {
+            d: pads.dataset(os.path.join(scratch, d), format="parquet")
+            .count_rows()
+            for d in part_dirs
+        }
+        stats_out["n_partitions"] = len(part_dirs)
+        stats_out["partition_rows"] = rows
+        stats_out["max_partition_rows"] = max(rows.values(), default=0)
+        stats_out["total_gram_rows"] = sum(rows.values())
+    if not part_dirs:
+        return base  # no doc produced a single k-token window
+
+    part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_windows", pa.int64()),
+         ("n_dup_windows", pa.int64())]
     )
-    dup_per_doc = (
-        joined.groupby("doc_id")
-        .aggregate(ray.data.aggregate.Sum("c", alias_name="n_dup_windows"))
-        .map_batches(
-            lambda t: pa.table({
-                "doc_id": t["doc_id"],
-                "n_windows": pa.array(np.zeros(len(t), np.int64), pa.int64()),
-                "n_dup_windows": t["n_dup_windows"].cast(pa.int64()),
-            }),
-            batch_format="pyarrow",
-        )
-    )
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        # one task = one partition: load (g, doc_id, c) rows for this g-range,
+        # local gram-count fold, per-doc dup-window partials out.  Peak
+        # memory = this partition only.
+        out = []
+        for d in t["dir"].to_pylist():
+            rows = pads.dataset(d, format="parquet").to_table(
+                columns=["g", "doc_id", "c"]
+            )
+            if len(rows) == 0:
+                continue
+            g = rows["g"].to_numpy()
+            did = rows["doc_id"].to_numpy()
+            c = rows["c"].to_numpy()
+            order = np.argsort(g, kind="stable")
+            gs = g[order]
+            bnd = np.flatnonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))
+            tot = np.add.reduceat(c[order], bnd)
+            seg = np.repeat(np.arange(len(bnd)), np.diff(np.append(bnd, len(gs))))
+            dup_gram = (tot > 1)[seg]
+            keep = order[dup_gram]
+            if len(keep) == 0:
+                continue
+            dd, cc = did[keep], c[keep]
+            od = np.argsort(dd, kind="stable")
+            dds = dd[od]
+            b2 = np.flatnonzero(np.concatenate([[True], dds[1:] != dds[:-1]]))
+            out.append(pa.table({
+                "doc_id": pa.array(dds[b2], pa.int64()),
+                "n_windows": pa.array(np.zeros(len(b2), np.int64), pa.int64()),
+                "n_dup_windows": pa.array(
+                    np.add.reduceat(cc[od], b2).astype(np.int64), pa.int64()
+                ),
+            }))
+        if not out:
+            return part_schema.empty_table()
+        return pa.concat_tables(out)
+
+    dup_per_doc = ray.data.from_items(
+        [{"dir": os.path.join(scratch, d)} for d in part_dirs],
+        override_num_blocks=len(part_dirs),
+    ).map_batches(per_partition, batch_format="pyarrow", batch_size=1)
     return (
         base.union(dup_per_doc)
         .groupby("doc_id")

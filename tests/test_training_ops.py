@@ -1017,6 +1017,43 @@ def test_dedup_substring_no_dups(tmp_path):
     assert sorted(d.n_windows) == [2, 2]
 
 
+def test_dedup_substring_bounded_partitions(tmp_path):
+    """Scale-hardening gate (round-5 ask #1): at ≥10⁶ gram rows with EVERY
+    gram duplicated (the pre-round-5 materialize() worst case — the >1-count
+    gram set is the whole gram table), the per-partition layout keeps each
+    stage-2 task's load at ~1/P of the gram set, so peak memory is one
+    partition, never the corpus-wide set.  Result correctness is asserted
+    exactly (every window duplicated, count from the repeat structure)."""
+    import random
+
+    from librecatastro_ray.pipelines.training import dedup_substring
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(500)]
+    n_docs, tokens_per_doc = 520, 1000
+    base_docs = [
+        " ".join(rng.choice(vocab) for _ in range(tokens_per_doc))
+        for _ in range(n_docs)
+    ]
+    # each doc appears twice → every k-window occurs ≥2× corpus-wide
+    _write_docs(tmp_path, base_docs + base_docs)
+    stats: dict = {}
+    P = 32
+    d = (
+        dedup_substring(str(tmp_path), k=8, num_partitions=P, stats_out=stats)
+        .to_pandas()
+    )
+    n_win = tokens_per_doc - 7
+    total = stats["total_gram_rows"]
+    assert total >= 1_000_000
+    assert stats["n_partitions"] == P
+    # boundedness: the largest single-task load is ~total/P, not ~total
+    assert stats["max_partition_rows"] <= 2 * total / P
+    assert (d["n_windows"] == n_win).all()
+    assert (d["n_dup_windows"] == n_win).all()
+    assert len(d) == 2 * n_docs
+
+
 def test_regex_redact_real_pii(tmp_path):
     """Injected emails / IPs / phones are counted and replaced; later
     patterns see earlier redactions (sequential semantics)."""
