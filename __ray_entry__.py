@@ -1479,7 +1479,11 @@ FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN a2 b USING (doc_id)
         # the oracle rebuilds the SAME model over exact token strings (the
         # engine uses 64-bit token/pair hashes, equal w.h.p.) and writes the
         # nll term as ln(cp+V)-ln(cb+1), the engine's exact FP form;
-        # bigram_hits is an exact-integer anchor
+        # bigram_hits is an exact-integer anchor.  The bigram LOOKUP table
+        # is pruned at the engine's default min_count=2 (hapax bigrams score
+        # as unseen, cb=0 — LEFT JOIN + coalesce); the Laplace denominators
+        # cp and V stay unpruned corpus statistics, mirroring
+        # training.lm_bigram_model exactly
         "lm_perplexity": """
 WITH d AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text, '')),
@@ -1495,10 +1499,11 @@ tok AS (
 c2 AS (SELECT prev, cur, count(*)::BIGINT AS c FROM tok GROUP BY prev, cur),
 c1 AS (SELECT prev, sum(c)::BIGINT AS cp FROM c2 GROUP BY prev),
 v AS (SELECT count(DISTINCT cur)::BIGINT AS v FROM tok),
+c2p AS (SELECT prev, cur, c FROM c2 WHERE c >= 2),
 s AS (
-  SELECT t.doc_id, b.c AS cb, p.cp AS cp
+  SELECT t.doc_id, coalesce(b.c, 0) AS cb, p.cp AS cp
   FROM tok t
-  JOIN c2 b ON t.prev = b.prev AND t.cur = b.cur
+  LEFT JOIN c2p b ON t.prev = b.prev AND t.cur = b.cur
   JOIN c1 p ON t.prev = p.prev
 ),
 a AS (

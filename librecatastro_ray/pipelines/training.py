@@ -1650,7 +1650,7 @@ def _lm_token_stream(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def lm_bigram_model(
-    sf_dir: str, min_count: int = 1
+    sf_dir: str, min_count: int = 2, stats_out: dict | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Train an add-one-smoothed bigram LM over the corpus (pass 1 of the
     CCNet/KenLM-style model-based quality filter).
@@ -1660,8 +1660,15 @@ def lm_bigram_model(
     enter the shuffle) → one ``groupby(pair).sum`` over the already-folded
     partials → the deduped model lands on the driver, which is inherent to
     broadcasting it.  At 100 TB the model side is bounded the standard way
-    (KenLM): raise ``min_count`` to prune the hapax tail — counts are exact
-    before pruning, so the knob only drops rows, never re-counts.
+    (KenLM): ``min_count`` prunes the hapax tail — counts are exact
+    before pruning, so the knob only drops rows, never re-counts.  The
+    DEFAULT is 2 (drop singletons): under Zipf, hapax bigrams are the
+    majority of DISTINCT pairs, so the default alone cuts the broadcast
+    model by ~2× and — unlike ``min_count=1`` — keeps its growth sublinear
+    in corpus size.  ``stats_out`` receives ``{"n_bigrams_total",
+    "n_bigrams_kept", "model_bytes", "min_count", "vocab"}`` for the build
+    report; :func:`lm_perplexity` additionally ENFORCES a byte cap before
+    ``ray.put``.
 
     Returns ``(pairs_sorted, c2, prevs_sorted, c1, V)`` where ``c1`` is the
     per-context total derived from the bigram table (every token occurrence
@@ -1716,11 +1723,22 @@ def lm_bigram_model(
         c1 = np.add.reduceat(c2[po], boundaries).astype(np.int64)
     else:
         prevs_sorted, c1 = ps, np.empty(0, np.int64)
+    n_total = len(pairs)
     if min_count > 1:
         keep = c2 >= min_count
         pairs, c2 = pairs[keep], c2[keep]
     order = np.argsort(pairs, kind="stable")
     pairs, c2 = pairs[order], c2[order]
+    if stats_out is not None:
+        stats_out.update(
+            n_bigrams_total=n_total,
+            n_bigrams_kept=len(pairs),
+            model_bytes=int(
+                pairs.nbytes + c2.nbytes + prevs_sorted.nbytes + c1.nbytes
+            ),
+            min_count=min_count,
+            vocab=V,
+        )
     return pairs, c2, prevs_sorted, c1, V
 
 
@@ -1771,7 +1789,10 @@ class _LMScorer:
         )
 
 
-def lm_perplexity(sf_dir: str, min_count: int = 1) -> ray.data.Dataset:
+def lm_perplexity(
+    sf_dir: str, min_count: int = 2,
+    max_model_bytes: int = 2 << 30, stats_out: dict | None = None,
+) -> ray.data.Dataset:
     """Model-based quality scoring (the CCNet recipe with an in-corpus
     model): train an add-one-smoothed bigram LM over the corpus, then score
     every doc's average negative log-likelihood under it.  Low ``avg_nll``
@@ -1782,14 +1803,33 @@ def lm_perplexity(sf_dir: str, min_count: int = 1) -> ray.data.Dataset:
     partial counts INSIDE map_batches before the (model-scale) shuffle;
     pass 2 broadcasts the sorted model arrays once (``ray.put``) and scans
     the corpus in an actor pool.  Output: ``(doc_id, n_tokens,
-    bigram_hits, avg_nll)`` where ``bigram_hits`` (Σ train-count along the
-    doc's bigram path) is an exact-integer anchor for the oracle.
+    bigram_hits, avg_nll)`` where ``bigram_hits`` (Σ pruned-model
+    train-count along the doc's bigram path; pruned pairs score as unseen,
+    exactly the KenLM convention) is an exact-integer anchor for the
+    oracle.
+
+    The broadcast model is BOUNDED two ways: ``min_count=2`` (default)
+    prunes the hapax tail, and ``max_model_bytes`` (default 2 GiB — a
+    comfortable fraction of a worker heap) is ASSERTED before ``ray.put``,
+    so a corpus whose pruned model still exceeds the cap fails loudly with
+    the knob to raise instead of silently pinning every actor's memory.
 
     Reference analogue: the scoring-side enrichment of
     ``elasticsearch_utils.py`` — a corpus-derived statistic (there: DF/BM25
     stats; here: bigram counts) broadcast to a stateless scoring scan.
     """
-    model_ref = ray.put(lm_bigram_model(sf_dir, min_count=min_count))
+    mstats: dict = {}
+    model = lm_bigram_model(sf_dir, min_count=min_count, stats_out=mstats)
+    if stats_out is not None:
+        stats_out.update(mstats)
+    if mstats["model_bytes"] > max_model_bytes:
+        raise ValueError(
+            f"bigram model is {mstats['model_bytes']:,} B "
+            f"({mstats['n_bigrams_kept']:,} bigrams at min_count="
+            f"{min_count}) > max_model_bytes={max_model_bytes:,}; raise "
+            "min_count (KenLM-style pruning) or max_model_bytes"
+        )
+    model_ref = ray.put(model)
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         _LMScorer,
         fn_constructor_kwargs={"model_ref": model_ref},

@@ -841,13 +841,15 @@ def test_lm_perplexity_known_values(tmp_path):
                   "text": pa.array(texts, pa.string())}),
         str(tmp_path / "documents.parquet"),
     )
-    # c2: (<s>,a)=2 (a,b)=2 (b,a)=1; c1: <s>=2 a=2 b=1; V=|{a,b}|=2
+    # c2: (<s>,a)=2 (a,b)=2 (b,a)=1; c1: <s>=2 a=2 b=1; V=|{a,b}|=2.
+    # default min_count=2 prunes the hapax (b,a) from the LOOKUP table
+    # (scores as unseen, cb=0) while cp/V stay unpruned
     out = {r["doc_id"]: r for r in lm_perplexity(str(tmp_path)).take_all()}
     ln43 = math.log(2 + 2) - math.log(2 + 1)  # cb=2, cp=2
-    ln32 = math.log(1 + 2) - math.log(1 + 1)  # cb=1, cp=1
+    ln30 = math.log(1 + 2) - math.log(0 + 1)  # cb=0 (pruned), cp=1
     assert out[0]["n_tokens"] == 3
-    assert out[0]["bigram_hits"] == 5
-    assert out[0]["avg_nll"] == round((2 * ln43 + ln32) / 3, 6)
+    assert out[0]["bigram_hits"] == 4
+    assert out[0]["avg_nll"] == round((2 * ln43 + ln30) / 3, 6)
     assert out[1]["n_tokens"] == 2
     assert out[1]["bigram_hits"] == 4
     assert out[1]["avg_nll"] == round(ln43, 6)
@@ -875,6 +877,34 @@ def test_lm_bigram_model_min_count_prunes_lookups_only(tmp_path):
     assert list(c2) == [2, 2]  # (b,a)=1 pruned
     assert sorted(c1.tolist()) == [1, 2, 2]  # contexts unpruned
     assert V == 2
+
+
+def test_lm_model_bytes_bounded_on_heavy_tail(tmp_path):
+    """Round-5 ask #2: a heavy-tailed corpus (every doc contributes unique
+    hapax bigrams) keeps the broadcast model under the byte cap at the
+    default min_count=2 — and the cap FAILS LOUDLY when disabled pruning
+    (min_count=1) would broadcast the full hapax tail."""
+    import pytest
+
+    from librecatastro_ray.pipelines.training import (
+        lm_bigram_model, lm_perplexity,
+    )
+
+    # head: one common bigram repeated everywhere; tail: 400 hapax bigrams
+    # sharing the <s> context (so pruning shrinks pairs ~200×, while the
+    # unpruned context/vocab arrays stay tiny)
+    docs = ["the end"] * 200 + [f"u{i}" for i in range(400)]
+    _write_docs(tmp_path, docs)
+    st: dict = {}
+    lm_bigram_model(str(tmp_path), stats_out=st)  # default min_count=2
+    # tail pruned: kept bigrams are a small constant, not O(docs)
+    assert st["n_bigrams_kept"] < 10
+    assert st["n_bigrams_total"] > 400
+    cap = st["model_bytes"] * 4  # loose cap the pruned model satisfies
+    out = lm_perplexity(str(tmp_path), max_model_bytes=cap).to_pandas()
+    assert len(out) == 600
+    with pytest.raises(ValueError, match="min_count"):
+        lm_perplexity(str(tmp_path), min_count=1, max_model_bytes=cap)
 
 
 def test_top_terms_per_lang_known_values(tmp_path):
