@@ -1108,3 +1108,78 @@ def test_regex_redact_real_pii(tmp_path):
     expect3 = "mixed <EMAIL> from <IP> dial <PHONE> end"
     assert out.loc[3, "redacted_len"] == len(expect3)
     assert out.loc[3, "redacted_md5"] == hl.md5(expect3.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# latent-regression pins (round-5 ask #4: the ADVICE.md latents, each with a
+# targeted test so the fixed behavior can never silently regress)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_radius_bounds():
+    """radius outside [0, 63] is rejected up front (a radius ≥ 64 would hit
+    the undefined uint64 shift the band mask special-cases; negative radius
+    would fan out zero bands)."""
+    from librecatastro_ray.pipelines.training import dedup_simhash
+
+    for bad in (-1, 64, 1000):
+        with pytest.raises(ValueError, match="radius"):
+            dedup_simhash("/nonexistent", radius=bad)
+
+
+def test_simhash_radius_zero_exact_equality(tmp_path):
+    """radius=0 is VALID (one full-width band — the shift-by-64 path the
+    mask special-cases): pairs are exactly the identical-signature pairs."""
+    from librecatastro_ray.pipelines.training import dedup_simhash
+
+    _write_docs(tmp_path, ["alpha beta gamma delta", "alpha beta gamma delta",
+                           "something entirely different here"])
+    out = dedup_simhash(str(tmp_path), radius=0).to_pandas()
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[0, 1]]
+    assert (out["hamming"] == 0).all()
+
+
+def test_shuffle_width_explicit_override_honored():
+    """An explicit num_partitions is returned unchanged — even above the
+    CPU clamp and on tiny row counts (the at-scale caller knows its
+    cluster; the clamp is only the default heuristic)."""
+    from librecatastro_ray.pipelines.training import _shuffle_width
+
+    assert _shuffle_width(10, 4096, 128) == 128
+    assert _shuffle_width(0, 1, 7) == 7
+    assert _shuffle_width(10**9, 1, 3) == 3
+    assert 2 <= _shuffle_width(10, 4096, None) <= 64
+
+
+def test_pair_candidates_two_carry_union_roundtrip():
+    """≥2 carry columns survive the UNION of the degenerate-bucket branch
+    (_pairs_in_bucket) with the self-join branch: both emit all-_a-then-
+    all-_b column groups, so every pair's carried values equal the per-doc
+    inputs regardless of which branch produced it."""
+    import ray.data
+
+    from librecatastro_ray.pipelines.training import _bucketed_pair_candidates
+
+    # band 0 / bucket 1: 5 docs (over cap=3 → degenerate branch, capped to
+    # the 3 smallest); band 0 / bucket 2: docs 10, 11 (self-join branch)
+    docs = [0, 1, 2, 3, 4, 10, 11]
+    buckets = [1, 1, 1, 1, 1, 2, 2]
+    bands = ray.data.from_arrow(pa.table({
+        "band": pa.array([0] * len(docs), pa.int64()),
+        "bucket": pa.array(buckets, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "s1": pa.array([d * 10 for d in docs], pa.int64()),
+        "s2": pa.array([d * 100 + 7 for d in docs], pa.int64()),
+    }))
+    out = (
+        _bucketed_pair_candidates(bands, num_partitions=2, cap=3,
+                                  carry=("s1", "s2"))
+        .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    assert out[["doc_a", "doc_b"]].values.tolist() == [
+        [0, 1], [0, 2], [1, 2], [10, 11]
+    ]
+    for _, r in out.iterrows():
+        assert r["s1_a"] == r["doc_a"] * 10 and r["s1_b"] == r["doc_b"] * 10
+        assert r["s2_a"] == r["doc_a"] * 100 + 7
+        assert r["s2_b"] == r["doc_b"] * 100 + 7
