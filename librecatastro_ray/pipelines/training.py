@@ -2390,6 +2390,39 @@ def ivf_cell_assign(sf_dir: str, n_cells: int = 8) -> pa.Table:
     )
 
 
+def ivf_cell_assign_to_parquet(
+    sf_dir: str, out_dir: str, n_cells: int = 8
+) -> dict:
+    """PRODUCTION consumer of the IVF assignment (the round-5
+    production-path ask): stream (vec_id, cell) from the built index's
+    per-cell partitions straight to parquet partitioned by cell — no
+    driver pandas anywhere (the gate-shaped :func:`ivf_cell_assign` exists
+    only for the oracle compare; the at-scale source of truth is the
+    index's own ``cells/cell=N/`` layout, of which this is a columns-only
+    projection).  Returns a small report dict (per-cell row counts from
+    parquet metadata, output dir)."""
+    import pyarrow.dataset as pads
+
+    index_dir = ivf_build(sf_dir, n_cells=n_cells)
+    cells_ds = _ivf_cells_ds(index_dir, list(range(n_cells)))
+    os.makedirs(out_dir, exist_ok=True)
+    if cells_ds is not None:
+        cells_ds.select_columns(["vec_id", "cell"]).write_parquet(
+            out_dir, partition_cols=["cell"]
+        )
+    rows_by_cell = {
+        int(d.split("=", 1)[1]): pads.dataset(
+            os.path.join(out_dir, d), format="parquet"
+        ).count_rows()
+        for d in sorted(os.listdir(out_dir)) if d.startswith("cell=")
+    }
+    return {
+        "out_dir": out_dir,
+        "rows_by_cell": rows_by_cell,
+        "n_rows": sum(rows_by_cell.values()),
+    }
+
+
 def embedding_dup_pairs_ivf(
     sf_dir: str, threshold: float = 0.9, n_cells: int = 8
 ) -> pa.Table:
@@ -2606,22 +2639,22 @@ def near_dup_clusters(
     return out
 
 
-def curate_corpus(
+def curate_corpus_ds(
     sf_dir: str,
     min_tokens: int = 10,
     max_stop_ratio: float = 0.9,
     max_punct_ratio: float = 0.3,
     num_partitions: int | None = None,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """The composite training-data CURATION pipeline: one streaming pass
     computes per-doc sha256 + quality features + language id, exact-dedup
     winners come from a vectorized groupby-min on the sha, and the winner
     flag joins back by sha (native hash join) — a doc survives iff it is
     its content's smallest doc_id AND clears the quality thresholds AND has
-    a recognized language.  Output: (doc_id, lang_pred, n_tokens,
-    keep_reason-less curated set).  Everything distributed; nothing
-    corpus-sized on the driver (the curated TABLE returned here is for the
-    oracle gate — at scale the tail call is .write_parquet)."""
+    a recognized language.  Output Dataset: (doc_id, lang_pred, n_tokens).
+    Everything distributed; nothing corpus-sized on the driver — consume
+    with :func:`curate_corpus_to_parquet` (the 100 TB production path) or
+    :func:`curate_corpus` (the driver-table oracle-gate shape)."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Min
@@ -2685,8 +2718,61 @@ def curate_corpus(
         )
         return t.filter(m).select(["doc_id", "lang_pred", "n_tokens"])
 
-    out = joined.map_batches(keep, batch_format="pyarrow").to_pandas()
-    return pa.Table.from_pandas(out.sort_values("doc_id", ignore_index=True), preserve_index=False)
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def curate_corpus(
+    sf_dir: str,
+    min_tokens: int = 10,
+    max_stop_ratio: float = 0.9,
+    max_punct_ratio: float = 0.3,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Oracle-gate shape of :func:`curate_corpus_ds`: the curated set as
+    one driver-side sorted table (the correctness driver compares tables).
+    Do NOT copy this shape into a production pipeline — at 100 TB the
+    consumer is :func:`curate_corpus_to_parquet`."""
+    out = curate_corpus_ds(
+        sf_dir, min_tokens, max_stop_ratio, max_punct_ratio, num_partitions
+    ).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id", ignore_index=True), preserve_index=False
+    )
+
+
+def curate_corpus_to_parquet(
+    sf_dir: str,
+    out_dir: str,
+    min_tokens: int = 10,
+    max_stop_ratio: float = 0.9,
+    max_punct_ratio: float = 0.3,
+    num_partitions: int | None = None,
+) -> dict:
+    """PRODUCTION consumer of :func:`curate_corpus_ds`: stream the curated
+    set straight to parquet partitioned by predicted language — blocks go
+    from the keep() filter to files, so NOTHING corpus-scale ever touches
+    the driver (the round-5 production-path ask: the gate-shaped
+    :func:`curate_corpus` exists only for the oracle compare).  Partitioned
+    layout doubles as resumable output: a re-run overwrites per-partition
+    files, never one giant object.  Returns a small report dict (row count
+    per language from parquet metadata, output dir)."""
+    import pyarrow.dataset as pads
+
+    os.makedirs(out_dir, exist_ok=True)
+    curate_corpus_ds(
+        sf_dir, min_tokens, max_stop_ratio, max_punct_ratio, num_partitions
+    ).write_parquet(out_dir, partition_cols=["lang_pred"])
+    rows_by_lang = {
+        d.split("=", 1)[1]: pads.dataset(
+            os.path.join(out_dir, d), format="parquet"
+        ).count_rows()
+        for d in sorted(os.listdir(out_dir)) if d.startswith("lang_pred=")
+    }
+    return {
+        "out_dir": out_dir,
+        "rows_by_lang": rows_by_lang,
+        "n_rows": sum(rows_by_lang.values()),
+    }
 
 
 # ---------------------------------------------------------------------------

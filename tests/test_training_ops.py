@@ -1183,3 +1183,54 @@ def test_pair_candidates_two_carry_union_roundtrip():
         assert r["s1_a"] == r["doc_a"] * 10 and r["s1_b"] == r["doc_b"] * 10
         assert r["s2_a"] == r["doc_a"] * 100 + 7
         assert r["s2_b"] == r["doc_b"] * 100 + 7
+
+
+def test_curate_corpus_to_parquet_matches_gate(tmp_path):
+    """Round-5 ask #6: the production path streams the curated set to
+    parquet partitioned by lang_pred (blocks → files, nothing corpus-scale
+    on the driver) and its content equals the gate-shaped table exactly."""
+    import pyarrow.dataset as pads
+
+    from librecatastro_ray.pipelines.training import (
+        curate_corpus, curate_corpus_to_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    gate = curate_corpus(sf).to_pandas()
+    rep = curate_corpus_to_parquet(sf, str(tmp_path / "curated"))
+    parts = sorted(p.name for p in (tmp_path / "curated").iterdir())
+    assert parts and all(p.startswith("lang_pred=") for p in parts)
+    assert rep["n_rows"] == len(gate)
+    got = (
+        pads.dataset(str(tmp_path / "curated"), format="parquet",
+                     partitioning="hive")
+        .to_table().to_pandas()
+        .astype({"lang_pred": str})[gate.columns.tolist()]
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, gate)
+
+
+def test_ivf_cell_assign_to_parquet_matches_gate(tmp_path):
+    """The IVF production path: per-cell partitioned (vec_id, cell) files
+    equal the gate-shaped assignment table."""
+    import pyarrow.dataset as pads
+
+    from librecatastro_ray.pipelines.training import (
+        ivf_cell_assign, ivf_cell_assign_to_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    gate = ivf_cell_assign(sf, n_cells=8).to_pandas()
+    rep = ivf_cell_assign_to_parquet(sf, str(tmp_path / "cells"), n_cells=8)
+    parts = sorted(p.name for p in (tmp_path / "cells").iterdir())
+    assert parts and all(p.startswith("cell=") for p in parts)
+    assert rep["n_rows"] == len(gate)
+    got = (
+        pads.dataset(str(tmp_path / "cells"), format="parquet",
+                     partitioning="hive")
+        .to_table().to_pandas()
+        .astype({"cell": "int64"})[["vec_id", "cell"]]
+        .sort_values("vec_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, gate)
