@@ -808,6 +808,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whole-stream features + 32-sample frame stats from ONE decode
         # pass per WAV (the fused AudioSuite stage)
         "mm_audio_suite": lambda sf: M.audio_suite(sf, 32),
+        # REAL video decode (round-5): RIFF/AVI container walk + per-frame
+        # baseline-JPEG entropy decode (MJPEG); the even-constant-block
+        # frames make every DCT round-trip lossless, so the oracle replays
+        # the generation rule while the engine runs the full container +
+        # codec path.  The DecodeStub gate now covers only inter-frame
+        # codecs (H.264)
+        "mm_video_features": M.video_features,
         # --- nested data model (address struct + constructions list<struct>,
         # the reference's document shape, elasticsearch_utils.py:38-56)
         "nested_unnest": R.nested_unnest,
@@ -1066,6 +1073,48 @@ ah AS (
 SELECT d.doc_id, d.w::BIGINT AS width, d.h::BIGINT AS height,
        s.sum_r, s.sum_g, s.sum_b, ah.ahash
 FROM d JOIN sums s USING (doc_id) JOIN ah USING (doc_id)
+"""
+
+# REAL MJPEG-AVI decode replay: nf frames per doc, every frame the
+# even-constant-block JPEG rule with a per-frame seed term f*53 — lossless
+# round-trip per frame (same Annex-K argument as _MM_JPEG_SQL), so the
+# engine's container walk + per-frame entropy decode must reproduce the
+# rule exactly.  ahash_first reuses the JPEG aHash replay (f = 0 → the
+# f*53 term vanishes)
+_MM_VIDEO_SQL = """
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nbx, 2 + doc_id % 2 AS nby,
+                  2 + doc_id % 4 AS nf
+           FROM documents),
+blk AS (
+  SELECT doc_id, f.f AS f, 2 * ((doc_id*37 + f.f*53 + b.b*41) % 128) AS v
+  FROM d, unnest(range(0, nf)) f(f), unnest(range(0, nbx*nby)) b(b)
+),
+fsum AS (SELECT doc_id, f, (64 * sum(v))::BIGINT AS s
+         FROM blk GROUP BY doc_id, f),
+agg AS (SELECT doc_id, sum(s)::BIGINT AS sum_all FROM fsum GROUP BY doc_id),
+lum AS (
+  SELECT d.doc_id, k.k AS k,
+         2 * ((d.doc_id*37
+               + ((((((k.k // 8) * (d.nby*8)) // 8) // 8) * d.nbx
+                   + ((((k.k % 8) * (d.nbx*8)) // 8) // 8)) * 41)) % 128) AS L
+  FROM d, unnest(range(0, 64)) k(k)
+),
+lt AS (SELECT doc_id, k, L, sum(L) OVER (PARTITION BY doc_id) AS tot FROM lum),
+ah AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN k < 63 AND 64*L > tot
+                       THEN (1::UBIGINT << k::UBIGINT) ELSE 0::UBIGINT END)::HUGEINT
+              AS BIGINT) AS ahash
+  FROM lt GROUP BY doc_id
+)
+SELECT d.doc_id, d.nf::BIGINT AS n_frames, (d.nbx*8)::BIGINT AS width,
+       (d.nby*8)::BIGINT AS height, f0.s AS sum_first, fl.s AS sum_last,
+       a.sum_all, ah.ahash AS ahash_first
+FROM d
+JOIN fsum f0 ON f0.doc_id = d.doc_id AND f0.f = 0
+JOIN fsum fl ON fl.doc_id = d.doc_id AND fl.f = d.nf - 1
+JOIN agg a ON a.doc_id = d.doc_id
+JOIN ah ON ah.doc_id = d.doc_id
 """
 
 # the case-tagged image-decode suite: all four REAL codecs, one entry
@@ -1585,6 +1634,7 @@ SELECT d.doc_id,
 FROM d LEFT JOIN hits h USING (doc_id)
 """,
         "mm_image_features": _MM_IMAGE_SUITE_SQL,
+        "mm_video_features": _MM_VIDEO_SQL,
         "mm_audio_suite": f"""
 SELECT a.doc_id, a.sample_rate, a.n_samples, a.sum_sq, a.n_zero_cross,
        f.n_frames, f.max_frame_energy, f.peak_frame

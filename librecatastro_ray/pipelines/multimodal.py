@@ -1279,3 +1279,196 @@ def gif_features(sf_dir: str) -> ray.data.Dataset:
     return gif_payloads(sf_dir).map_batches(
         GifFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video (round-5 gate-closer: a REAL container codec — RIFF
+# walk + per-frame baseline-JPEG decode — so the video decode gate narrows
+# to true inter-frame codecs like H.264).  Reference analogue: the binary
+# side-fetch of scrapper.py:152-174 generalized to a multi-frame payload.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal standards-shaped AVI writer (RIFF 'AVI ' / LIST hdrl with
+    avih + one 'vids'/'MJPG' stream / LIST movi of '00dc' chunks / idx1):
+    each frame is an already-encoded baseline JPEG.  Layout follows the
+    public VFW AVI RIFF form; chunks are even-padded per RIFF rules."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        0, 0,
+        0x10,                      # AVIF_HASINDEX
+        n, 0, 1, 0,                # frames, initial, streams, sugg. buffer
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<I2HI", 0, 0, 0, 0)       # flags, prio, lang, initial
+        + struct.pack("<4I", 1, max(fps, 1), 0, n)  # scale, rate, start, len
+        + struct.pack("<3I", 0, 10_000, 0)       # sugg. buffer, quality, sampsz
+        + struct.pack("<4H", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<I2i2H", 40, width, height, 1, 24
+    ) + b"MJPG" + struct.pack("<I2i2I", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b"movi"
+    offsets = []
+    for f in frames:
+        offsets.append(len(movi_payload))  # offset of the '00dc' fourcc
+        movi_payload += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_payload)
+    import struct as _s
+
+    idx = b"".join(
+        b"00dc" + _s.pack("<3I", 0x10, off, len(f))
+        for off, f in zip(offsets, frames)
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(buf: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Real RIFF/AVI container walk: validates the RIFF/'AVI ' form, reads
+    (width, height, total frames) from avih, and collects every '00dc' /
+    '00db' chunk in LIST movi as one JPEG payload.  Returns ``(width,
+    height, n_frames, frames)``; raises ValueError on malformed input."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    riff_size = struct.unpack("<I", buf[4:8])[0]
+    if 8 + riff_size > len(buf):
+        raise ValueError("truncated RIFF payload")
+    width = height = n_frames = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, n_frames
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            data_lo, data_hi = pos + 8, pos + 8 + size
+            if data_hi > hi:
+                raise ValueError(f"chunk {fourcc!r} overruns its parent")
+            if fourcc == b"LIST":
+                walk(data_lo + 4, data_hi)  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                f = struct.unpack("<14I", buf[data_lo:data_lo + 56])
+                n_frames, width, height = f[4], f[8], f[9]
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(buf[data_lo:data_hi])
+            pos = data_hi + (size % 2)  # even padding
+
+    walk(12, 8 + riff_size)
+    if width is None:
+        raise ValueError("no avih header in AVI stream")
+    if n_frames != len(frames):
+        raise ValueError(
+            f"avih declares {n_frames} frames, movi carries {len(frames)}"
+        )
+    return int(width), int(height), int(n_frames), frames
+
+
+# MJPEG-AVI rule (replayed by the _MM_VIDEO_SQL oracle): nf = 2 + doc_id % 4
+# frames, all the same grayscale block dims as the JPEG rule (nbx = 2 +
+# doc_id % 3, nby = 2 + doc_id % 2), frame f's block bi value
+# v = 2*((doc_id*37 + f*53 + bi*41) % 128) — even constant blocks, so every
+# frame's Annex-K DCT round-trip is lossless and the oracle replays the rule
+# while the engine runs the container walk + full entropy decode per frame.
+
+
+def _synth_avi(doc_id: int) -> bytes:
+    nbx, nby, nf = 2 + doc_id % 3, 2 + doc_id % 2, 2 + doc_id % 4
+    bi = np.arange(nby * nbx, dtype=np.int64)
+    frames = []
+    for f in range(nf):
+        vals = (2 * ((doc_id * 37 + f * 53 + bi * 41) % 128)).astype(
+            np.uint8).reshape(nby, nbx)
+        frames.append(encode_jpeg(np.kron(vals, np.ones((8, 8), np.uint8))))
+    return encode_avi_mjpeg(frames, nbx * 8, nby * 8)
+
+
+def video_payloads(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, video_avi) binary-column source for the video decode stage."""
+    from librecatastro_ray.sources.readers import read_parquet_clean
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "video_avi": pa.array(
+                [_synth_avi(int(d)) for d in t["doc_id"].to_numpy()], pa.binary()),
+        })
+
+    return read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(fn, batch_format="pyarrow", batch_size=128)
+
+
+class VideoFeatures:
+    """Actor-pool decode stage over REAL MJPEG-AVI videos: RIFF container
+    walk (decode_avi_mjpeg) + full baseline-JPEG entropy decode per frame
+    (decode_jpeg), then integer-exact per-video features: luma sums of the
+    first / last / all frames and the first frame's 8×8 average-hash (the
+    keyframe-thumbnail convention).  Small batches — multi-frame payloads
+    dominate block size."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("n_frames", "width", "height", "sum_first",
+                               "sum_last", "sum_all", "ahash_first")}
+        for buf in batch["video_avi"]:
+            w, h, nf, frames = decode_avi_mjpeg(buf.as_py())
+            sums = []
+            first_px = None
+            for f in frames:
+                fw, fh, _c, img = decode_jpeg(f)
+                if (fw, fh) != (w, h):
+                    raise ValueError("frame dims disagree with avih")
+                px = img.astype(np.int64)
+                if first_px is None:
+                    first_px = px
+                sums.append(int(px.sum()))
+            out["n_frames"].append(nf)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sum_first"].append(sums[0] if sums else 0)
+            out["sum_last"].append(sums[-1] if sums else 0)
+            out["sum_all"].append(sum(sums))
+            if first_px is None:
+                out["ahash_first"].append(0)
+            else:
+                sy = (np.arange(8) * h) // 8
+                sx = (np.arange(8) * w) // 8
+                small = first_px[sy][:, sx]
+                luma = (small * 1000).reshape(-1)  # grayscale: RGB collapses
+                bits = (64 * luma > luma.sum()).astype(np.uint64)
+                ahash = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                out["ahash_first"].append(ahash % (1 << 63))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
+def video_features(sf_dir: str) -> ray.data.Dataset:
+    return video_payloads(sf_dir).map_batches(
+        VideoFeatures, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+    )

@@ -2480,21 +2480,25 @@ class DecodeStub:
     """Multimodal decode stage with REAL Ray plumbing and a STUBBED decoder.
 
     Treats the payload as an opaque binary column; the actual decode would
-    live in ``_decode``.  The gate now covers ONLY H.264 video —
-    PPM/WAV (multimodal.decode_ppm/decode_wav), PNG (multimodal.decode_png:
-    zlib + numpy unfiltering) and baseline JPEG (multimodal.decode_jpeg:
-    full Huffman entropy decode + IDCT) all have REAL decoders.
-    The deterministic fake derives metadata from the raw bytes so the
-    schema, batch sizing and actor-pool shape are exercised end-to-end.
+    live in ``_decode``.  The gate now covers ONLY inter-frame video codecs
+    (H.264-class temporal prediction) — PPM/WAV
+    (multimodal.decode_ppm/decode_wav), PNG (multimodal.decode_png: zlib +
+    numpy unfiltering), baseline JPEG (multimodal.decode_jpeg: full Huffman
+    entropy decode + IDCT), GIF (decode_gif: variable-width LZW) and
+    MJPEG-in-AVI video (decode_avi_mjpeg: RIFF container walk + per-frame
+    JPEG decode) all have REAL decoders.  The deterministic fake derives
+    metadata from the raw bytes so the schema, batch sizing and actor-pool
+    shape are exercised end-to-end.
     """
 
     def __init__(self, real_decoder: bool = False):
         if real_decoder:
             raise NotImplementedError(
-                "H.264 codec not available in this environment "
-                "(PPM/WAV/PNG/JPEG decode natively: librecatastro_ray."
-                "pipelines.multimodal.decode_ppm/decode_wav/decode_png/"
-                "decode_jpeg)"
+                "inter-frame video codecs (H.264) not available in this "
+                "environment (PPM/WAV/PNG/JPEG/GIF and MJPEG-AVI video "
+                "decode natively: librecatastro_ray.pipelines.multimodal."
+                "decode_ppm/decode_wav/decode_png/decode_jpeg/decode_gif/"
+                "decode_avi_mjpeg)"
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -2559,9 +2563,10 @@ class FrameSampler:
         # gated, the Ray plumbing is real
         if real_decoder:
             raise NotImplementedError(
-                "video codecs (H.264) not available in this environment; "
-                "the audio twin with a REAL decoder is "
-                "multimodal.AudioFrameSampler"
+                "inter-frame video codecs (H.264) not available in this "
+                "environment; the REAL-decoder frame samplers are "
+                "multimodal.AudioFrameSampler (WAV) and "
+                "multimodal.VideoFeatures (MJPEG-in-AVI)"
             )
 
     @staticmethod

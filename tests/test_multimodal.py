@@ -565,3 +565,100 @@ def test_gif_guards():
     grown[ix + 5 : ix + 7] = _s.pack("<H", 4)  # image width
     with pytest.raises(ValueError, match="underrun"):
         decode_gif(bytes(grown))
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video (round-5: the video gate-closer)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_handbuilt_bytes_decode():
+    """An AVI built BY HAND (independent of encode_avi_mjpeg) walks to the
+    declared dims and frame payloads — guards a symmetric encoder/decoder
+    co-bug.  Frame payloads are sentinels (the container walk is under test,
+    not the JPEG codec); one is odd-length to exercise RIFF even padding."""
+    import struct
+
+    from librecatastro_ray.pipelines.multimodal import decode_avi_mjpeg
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    f1, f2 = b"JPGDATA", b"JPGDATA2"  # 7 (odd) and 8 bytes
+    avih = struct.pack("<14I", 100000, 0, 0, 0x10, 2, 0, 1, 0, 16, 8,
+                       0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", f1) + chunk(b"00dc", f2))
+    body = b"AVI " + hdrl + movi
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    w, h, nf, frames = decode_avi_mjpeg(buf)
+    assert (w, h, nf) == (16, 8, 2)
+    assert frames == [f1, f2]
+
+
+def test_avi_roundtrip_matches_generation_rule():
+    """Full engine path: container walk + per-frame entropy decode equals
+    the even-constant-block generation rule bit-exactly (the lossless
+    Annex-K round-trip argument, per frame)."""
+    from librecatastro_ray.pipelines.multimodal import (
+        _synth_avi, decode_avi_mjpeg, decode_jpeg,
+    )
+
+    for d in (0, 1, 5, 11, 123, 998):
+        w, h, nf, frames = decode_avi_mjpeg(_synth_avi(d))
+        nbx, nby = 2 + d % 3, 2 + d % 2
+        assert (w, h, nf) == (nbx * 8, nby * 8, 2 + d % 4)
+        bi = np.arange(nby * nbx, dtype=np.int64)
+        for f_i, fr in enumerate(frames):
+            fw, fh, c, img = decode_jpeg(fr)
+            assert (fw, fh, c) == (w, h, 1)
+            vals = (2 * ((d * 37 + f_i * 53 + bi * 41) % 128)).reshape(nby, nbx)
+            assert (img == np.kron(vals, np.ones((8, 8), int))).all(), (d, f_i)
+
+
+def test_avi_guards():
+    import struct
+
+    from librecatastro_ray.pipelines.multimodal import (
+        _synth_avi, decode_avi_mjpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_avi_mjpeg(b"JUNKJUNKJUNK")
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_avi_mjpeg(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    buf = _synth_avi(7)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi_mjpeg(buf[:-10])
+    # frame-count lie: avih says one more frame than movi carries
+    lying = bytearray(buf)
+    ix = buf.index(b"avih")
+    n = struct.unpack("<I", buf[ix + 8 + 16:ix + 8 + 20])[0]
+    lying[ix + 8 + 16:ix + 8 + 20] = struct.pack("<I", n + 1)
+    with pytest.raises(ValueError, match="declares"):
+        decode_avi_mjpeg(bytes(lying))
+
+
+def test_video_features_known_values(tmp_path):
+    """VideoFeatures over a tiny corpus: per-video integer features equal
+    the generation-rule replay (sum over frames of 64 * block values)."""
+    import pyarrow.parquet as pq
+
+    from librecatastro_ray.pipelines.multimodal import video_features
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 3, 10], pa.int64())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = video_features(str(tmp_path)).to_pandas().set_index("doc_id")
+    for d in (0, 3, 10):
+        nbx, nby, nf = 2 + d % 3, 2 + d % 2, 2 + d % 4
+        bi = np.arange(nby * nbx, dtype=np.int64)
+        fsums = [int(64 * (2 * ((d * 37 + f * 53 + bi * 41) % 128)).sum())
+                 for f in range(nf)]
+        r = out.loc[d]
+        assert (r["n_frames"], r["width"], r["height"]) == (nf, nbx * 8, nby * 8)
+        assert r["sum_first"] == fsums[0]
+        assert r["sum_last"] == fsums[-1]
+        assert r["sum_all"] == sum(fsums)
