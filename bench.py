@@ -85,7 +85,23 @@ def make_bench_corpus(sf_dir: str, amplify: int, out_dir: str) -> int:
     return n_docs
 
 
-def make_query_set(n: int = 200) -> list[dict]:
+def make_phrase_pool(sf_dir: str, n: int = 64) -> list[str]:
+    """Top recurring word bigrams from the documents table (bounded sample)
+    — phrase queries whose terms actually co-occur adjacently, so the
+    positional read path does real work instead of empty-intersecting."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    counts: Counter = Counter()
+    for text in t["text"].to_pylist()[:2000]:
+        toks = [w for w in (text or "").lower().split() if w.isalnum()]
+        counts.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    return [p for p, _c in counts.most_common(n)]
+
+
+def make_query_set(n: int = 200, phrase_pool: list[str] | None = None) -> list[dict]:
     vocab = [
         "table", "value", "key", "part", "row", "fast", "slow", "hash", "agg",
         "scan", "merge", "batch", "sort", "window", "line", "spark", "the", "a",
@@ -97,7 +113,17 @@ def make_query_set(n: int = 200) -> list[dict]:
                 "keyword_eq": [], "keyword_prefix": [], "must_not_terms": [],
                 "should_terms": [], "k": 10, "from": 0}
         kind = ["match", "match", "match", "bool_must", "prefix_content",
-                "match", "bool_must", "match", "bool_kw_probe", "bool_must"][i % 10]
+                "phrase", "bool_must", "match", "bool_kw_probe", "bool_must"][i % 10]
+        if kind == "phrase":
+            # 10% positional phrase queries ride in the headline mix (round-5
+            # ask: the phrase path can never silently regress); falls back to
+            # plain match when the index has no positions to query
+            if phrase_pool:
+                base.update(kind="match_phrase",
+                            text=phrase_pool[i % len(phrase_pool)])
+                qs.append(base)
+                continue
+            kind = "match"
         if kind == "match":
             nterms = 1 + (i % 3)
             terms = [vocab[(i * 7 + j * 3) % len(vocab)] for j in range(nterms)]
@@ -155,7 +181,11 @@ def run_bench() -> dict:
     drop_index(index_dir)
     cfg = IndexConfig(
         num_partitions=int(os.environ.get("LCRAY_BENCH_PARTITIONS", "16")),
-        num_salts=4, hot_df_ratio=0.02)
+        num_salts=4, hot_df_ratio=0.02,
+        # positional sidecar in the headline build: the phrase queries below
+        # need it, and its build cost is inside host noise (BASELINE.md's
+        # interleaved plain-vs-positional measurement)
+        positions=True)
     t0 = time.monotonic()
     build_out = build_index(corpus_dir, index_dir, cfg, resume=False)
     build_sec = time.monotonic() - t0
@@ -164,8 +194,13 @@ def run_bench() -> dict:
     # batch query evaluation: full-replica actor pool while an actor can hold
     # the hot working set; doc-range scatter-gather (each task touches 1/R of
     # the postings) once the corpus outgrows that — the at-scale serving path
-    queries = make_query_set(int(os.environ.get("LCRAY_BENCH_QUERIES", "4000")))
+    queries = make_query_set(int(os.environ.get("LCRAY_BENCH_QUERIES", "4000")),
+                             phrase_pool=make_phrase_pool(SF_DIR))
     scatter_min = int(os.environ.get("LCRAY_SCATTER_MIN_DOCS", "300000"))
+    from librecatastro_ray.pipelines.query import (
+        range_cache_stats, start_range_cache_stats)
+
+    start_range_cache_stats()
     t0 = time.monotonic()
     if n_docs >= scatter_min:
         from librecatastro_ray.pipelines.query import batch_search_scatter
@@ -188,6 +223,12 @@ def run_bench() -> dict:
             max_restarts=0,  # ray#53727: ctor args in the object store
         ).count()
     query_sec = time.monotonic() - t0
+    # per-process RangeEngine LRU totals for THIS workload (the replica-pool
+    # vs scatter crossover, LCRAY_SCATTER_MIN_DOCS, is tuned from this —
+    # hit_rate near (chunks-1)/chunks means engines are reused across
+    # chunks; near 0 means the LRU thrashes and scatter's per-range decode
+    # is being paid repeatedly)
+    cache_stats = range_cache_stats()
 
     t0 = time.monotonic()
     ann_topk(SF_DIR, n_queries=5, k=10)
@@ -217,6 +258,7 @@ def run_bench() -> dict:
         "result_rows": out,
         "query_mode": query_mode,
         "build_phases": build_phases,
+        "range_engine_cache": cache_stats,
     }
 
 

@@ -1565,6 +1565,8 @@ class SearchActor:
             offset = int(row.get("from") or 0)
             if kind == "match":
                 res = self.engine.match(row.get("text") or "", k, offset=offset)
+            elif kind == "match_phrase":
+                res = self.engine.match_phrase(row.get("text") or "", k, offset=offset)
             elif kind == "bool_must":
                 res = self.engine.bool_must(
                     list(row.get("must_terms") or []),
@@ -1991,11 +1993,116 @@ def _process_range_engine(index_dir: str, lo: int, hi: int) -> "RangeEngine":
     if rng is None:
         rng = RangeEngine(index_dir, lo, hi)
         _PROCESS_RANGE_ENGINES[key] = rng
+        evictions = 0
         while len(_PROCESS_RANGE_ENGINES) > _PROCESS_RANGE_ENGINES_CAP:
             _PROCESS_RANGE_ENGINES.popitem(last=False)
+            evictions += 1
+        _record_range_cache(0, 1, evictions)
     else:
         _PROCESS_RANGE_ENGINES.move_to_end(key)
+        _record_range_cache(1, 0, 0)
     return rng
+
+
+# --- range-engine cache observability ---------------------------------------
+# The replica-pool vs scatter crossover (LCRAY_SCATTER_MIN_DOCS) is a cache
+# question: scatter wins once per-process engines stop thrashing.  These
+# counters measure that directly — a low hit rate at a given corpus size
+# means chunks are rebuilding engines instead of reusing them.  bench.py
+# creates the named collector actor and emits the totals in its JSON line.
+
+RANGE_CACHE_STATS_ACTOR = "lcray_range_cache_stats"
+_RANGE_CACHE_LOCAL = {"hits": 0, "misses": 0, "evictions": 0}
+_RANGE_CACHE_HANDLE = None
+
+
+def _record_range_cache(hits: int, misses: int, evictions: int) -> None:
+    """Count a range-engine cache event process-locally and fire-and-forget
+    the delta to the named collector actor when one exists (absent — tests,
+    direct-engine paths — counting stays local and free).  Event frequency
+    is one per (range × chunk) task row, not per query, so the actor call
+    is never on a hot loop.  Delivery is async: a report submitted by the
+    last task can in principle land after a driver reads the totals, so
+    readers treat the numbers as observability, not an exact invariant."""
+    global _RANGE_CACHE_HANDLE
+    _RANGE_CACHE_LOCAL["hits"] += hits
+    _RANGE_CACHE_LOCAL["misses"] += misses
+    _RANGE_CACHE_LOCAL["evictions"] += evictions
+    import ray
+
+    if _RANGE_CACHE_HANDLE is None:
+        if not ray.is_initialized():
+            return
+        try:
+            _RANGE_CACHE_HANDLE = ray.get_actor(RANGE_CACHE_STATS_ACTOR)
+        except ValueError:
+            return
+    try:
+        _RANGE_CACHE_HANDLE.report.remote(hits, misses, evictions)
+    except Exception:
+        _RANGE_CACHE_HANDLE = None
+
+
+class _RangeCacheStats:
+    """Named zero-CPU collector actor: workers report LRU deltas, the bench
+    driver reads the totals after a workload."""
+
+    def __init__(self) -> None:
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    def report(self, hits: int, misses: int, evictions: int) -> None:
+        self.hits += hits
+        self.misses += misses
+        self.evictions += evictions
+
+    def stats(self) -> dict:
+        total = self.hits + self.misses
+        return {
+            "hits": self.hits,
+            "misses": self.misses,
+            "evictions": self.evictions,
+            "hit_rate": round(self.hits / total, 4) if total else None,
+        }
+
+    def reset(self) -> None:
+        self.hits = self.misses = self.evictions = 0
+
+
+_RANGE_CACHE_COLLECTOR = None  # driver-side anchor: named actors are
+# ref-counted, so the collector must stay referenced for the session
+
+
+def start_range_cache_stats():
+    """Driver-side: create (or fetch) the named collector and zero it.
+    Workers discover it lazily on their next cache event."""
+    global _RANGE_CACHE_COLLECTOR
+    import ray
+
+    try:
+        handle = ray.get_actor(RANGE_CACHE_STATS_ACTOR)
+    except ValueError:
+        handle = (
+            ray.remote(num_cpus=0)(_RangeCacheStats)
+            .options(name=RANGE_CACHE_STATS_ACTOR)
+            .remote()
+        )
+    _RANGE_CACHE_COLLECTOR = handle
+    ray.get(handle.reset.remote())
+    return handle
+
+
+def range_cache_stats() -> dict | None:
+    """Driver-side: totals from the named collector, or None when no
+    collector was started (counters then only exist process-locally)."""
+    import ray
+
+    try:
+        handle = ray.get_actor(RANGE_CACHE_STATS_ACTOR)
+    except ValueError:
+        return None
+    return ray.get(handle.stats.remote())
 
 
 def _eval_range_batch(
@@ -2134,6 +2241,12 @@ def _merge_query_buckets(group: pa.Table) -> pa.Table:
                      "score": pa.array(np.concatenate(out_s), pa.float64())})
 
 
+# chunks of one range grouped into a single task: bounds per-task JSON bytes
+# (chunk_size × this × ~200 B) while amortizing the range-engine build over
+# the group — the at-scale knob between failure granularity and decode reuse
+_CHUNKS_PER_TASK = 8
+
+
 def batch_search_scatter(
     index_dir: str,
     queries: list[dict],
@@ -2178,14 +2291,22 @@ def batch_search_scatter(
         json.dumps(queries[i : i + chunk_size])
         for i in range(0, len(queries), chunk_size)
     ]
-    work = ray.data.from_items(
-        [
-            {"range_id": r, "queries_json": cj}
-            for cj in chunks
-            for r in range(n_ranges)
-        ],
-        override_num_blocks=n_ranges * len(chunks),
-    )
+    # RANGE-MAJOR row order + multi-chunk blocks: all chunks of a range are
+    # contiguous and a block carries up to _CHUNKS_PER_TASK of them, so one
+    # task evaluates consecutive chunks of the SAME range and reuses its
+    # process-cached RangeEngine deterministically.  The chunk-major layout
+    # this replaces left engine reuse to scheduler placement — the bench's
+    # range-engine cache counters measured a 3% hit rate (each chunk wave
+    # re-decoded nearly every range's postings); range-major makes the reuse
+    # intra-task.  A block straddling two ranges (when chunk count isn't a
+    # multiple of the group size) just builds both engines — harmless.
+    rows = [
+        {"range_id": r, "queries_json": cj}
+        for r in range(n_ranges)
+        for cj in chunks
+    ]
+    n_blocks = max(n_ranges, -(-len(rows) // _CHUNKS_PER_TASK))
+    work = ray.data.from_items(rows, override_num_blocks=n_blocks)
     # merge-bucket count: the gather shuffle moves the same ≤ ranges×k rows
     # per query but the groupby sees buckets of queries instead of one group
     # per query (per-group map_groups overhead is Ray Data's known cliff at
@@ -2193,7 +2314,6 @@ def batch_search_scatter(
     # Keep buckets ≥ 4× the sort's output-partition count (= work blocks) so
     # the range exchange never emits empty (schema-less) partitions, and
     # ≤ n_queries so every bucket is non-empty.
-    n_blocks = n_ranges * len(chunks)
     merge_buckets = max(
         1, min(len(queries), max(4 * n_blocks, -(-len(queries) // 1024)))
     )

@@ -336,3 +336,55 @@ def test_nested_columns_survive_build(tmp_path):
     assert by_path["p/0005.txt"]["constructions"] == [
         {"floor": 0, "area": 0.0}, {"floor": 1, "area": 11.5}
     ]
+
+
+def test_range_cache_local_counters(built_index):
+    """_process_range_engine counts a miss on build, a hit on reuse, and an
+    eviction when the LRU cap trips (round-5 observability ask)."""
+    from librecatastro_ray.pipelines import query as qmod
+
+    index_dir, _ = built_index
+    qmod._PROCESS_RANGE_ENGINES.clear()
+    before = dict(qmod._RANGE_CACHE_LOCAL)
+    qmod._process_range_engine(index_dir, 0, 3)
+    qmod._process_range_engine(index_dir, 0, 3)
+    assert qmod._RANGE_CACHE_LOCAL["misses"] == before["misses"] + 1
+    assert qmod._RANGE_CACHE_LOCAL["hits"] == before["hits"] + 1
+    # drive distinct ranges past the cap: every insertion beyond it evicts
+    n_over = qmod._PROCESS_RANGE_ENGINES_CAP + 2
+    for lo in range(n_over):
+        qmod._process_range_engine(index_dir, lo, lo + 1)
+    assert (qmod._RANGE_CACHE_LOCAL["evictions"]
+            >= before["evictions"] + 3)  # 0-3 above + the cap overflow
+    assert len(qmod._PROCESS_RANGE_ENGINES) <= qmod._PROCESS_RANGE_ENGINES_CAP
+    qmod._PROCESS_RANGE_ENGINES.clear()
+
+
+def test_range_cache_stats_collector(built_index):
+    """The named collector actor aggregates per-worker LRU deltas from a
+    scatter workload: one cache event per (range x chunk) task row."""
+    import time
+
+    from librecatastro_ray.pipelines.query import (
+        batch_search_scatter, range_cache_stats, start_range_cache_stats)
+
+    index_dir, _ = built_index
+    start_range_cache_stats()
+    queries = [
+        {"query_id": i, "kind": "match", "text": "alpha beta", "k": 5}
+        for i in range(6)
+    ]
+    batch_search_scatter(index_dir, queries, n_ranges=2, chunk_size=3)
+    # 2 chunks x 2 ranges = 4 task rows -> 4 cache events; worker reports
+    # are fire-and-forget, so poll briefly for delivery
+    stats = None
+    for _ in range(50):
+        stats = range_cache_stats()
+        if stats and stats["hits"] + stats["misses"] >= 4:
+            break
+        time.sleep(0.1)
+    assert stats is not None
+    assert stats["hits"] + stats["misses"] >= 4
+    assert stats["misses"] >= 1  # at least one engine was built somewhere
+    if stats["hits"] + stats["misses"]:
+        assert stats["hit_rate"] is not None
