@@ -194,8 +194,12 @@ def run_bench() -> dict:
     # batch query evaluation: full-replica actor pool while an actor can hold
     # the hot working set; doc-range scatter-gather (each task touches 1/R of
     # the postings) once the corpus outgrows that — the at-scale serving path
-    queries = make_query_set(int(os.environ.get("LCRAY_BENCH_QUERIES", "4000")),
-                             phrase_pool=make_phrase_pool(SF_DIR))
+    # LCRAY_BENCH_PHRASES=0 reproduces the round-4 all-match mix for
+    # apples-to-apples comparisons against earlier rounds' readings
+    with_phrases = os.environ.get("LCRAY_BENCH_PHRASES", "1") != "0"
+    queries = make_query_set(
+        int(os.environ.get("LCRAY_BENCH_QUERIES", "4000")),
+        phrase_pool=make_phrase_pool(SF_DIR) if with_phrases else None)
     scatter_min = int(os.environ.get("LCRAY_SCATTER_MIN_DOCS", "300000"))
     from librecatastro_ray.pipelines.query import (
         range_cache_stats, start_range_cache_stats)

@@ -607,10 +607,9 @@ class QueryEngine:
 
     # ---------------- query surface ----------------
 
-    def match(self, text: str, k: int = 10, offset: int = 0) -> pa.Table:
-        """Q1+Q4: analyzed BM25 match, top-k (rank, doc_id, score); ``offset``
-        is ES ``from`` pagination (skip the first ``offset`` ranks)."""
-        terms = self.analyzer.tokenize(text)
+    def _match_scores(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Scored (docs, scores) of an analyzed OR-match — the shared core of
+        :meth:`match` and :meth:`match_search_after`."""
         if self.n_docs <= DENSE_ACC_LIMIT:
             # dense scatter-add: O(total postings), no sort; per-doc additions
             # still happen in term order (the oracle's accumulation order)
@@ -622,17 +621,47 @@ class QueryEngine:
                     acc[d] += s
                     any_hit = True
             if not any_hit:
-                return _empty_result()
+                return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
             docs = np.nonzero(acc)[0].astype(np.int64)
-            return self._topk_table(docs, acc[docs], k, offset)
+            return docs, acc[docs]
         doc_arrays, score_arrays = [], []
         for term in terms:
             d, s = self._term_contribution(term)
             if len(d):
                 doc_arrays.append(d)
                 score_arrays.append(s)
-        docs, scores = self._accumulate(doc_arrays, score_arrays)
+        return self._accumulate(doc_arrays, score_arrays)
+
+    def match(self, text: str, k: int = 10, offset: int = 0) -> pa.Table:
+        """Q1+Q4: analyzed BM25 match, top-k (rank, doc_id, score); ``offset``
+        is ES ``from`` pagination (skip the first ``offset`` ranks)."""
+        docs, scores = self._match_scores(self.analyzer.tokenize(text))
+        if not len(docs):
+            return _empty_result()
         return self._topk_table(docs, scores, k, offset)
+
+    def match_search_after(
+        self, text: str, k: int = 10, after: tuple[float, int] | None = None
+    ) -> pa.Table:
+        """ES ``search_after`` deep pagination: the top-k hits strictly AFTER
+        the cursor ``after = (score, doc_id)`` (the last hit of the previous
+        page) in the pinned (score desc, doc_id asc) sort.  Stateless cursor
+        paging — the scale-safe alternative to ``from`` (ES caps from+size at
+        10k because every shard must return offset+k rows; a cursor ships
+        only k per shard at any depth).  Ranks restart at 1 per page, ES's
+        behavior (the response carries no global rank).  Beyond the
+        reference's surface (elasticsearch_utils.py:111-123 uses only
+        match/prefix/bool); included for ES drop-in completeness."""
+        docs, scores = self._match_scores(self.analyzer.tokenize(text))
+        if not len(docs):
+            return _empty_result()
+        if after is not None:
+            s_after, d_after = float(after[0]), int(after[1])
+            keep = (scores < s_after) | ((scores == s_after) & (docs > d_after))
+            docs, scores = docs[keep], scores[keep]
+            if not len(docs):
+                return _empty_result()
+        return self._topk_table(docs, scores, k, 0)
 
     def match_wand(self, text: str, k: int = 10, offset: int = 0) -> pa.Table:
         """Q1+Q4 via block-max pruning (the WAND family, north_star): exact
@@ -1254,6 +1283,72 @@ class QueryEngine:
         docs = self._union_docs(self.analyzer.tokenize(text))
         return np.zeros(0, dtype=np.int64) if docs is None else docs
 
+    def sort_by_field(
+        self,
+        text: str,
+        field: str,
+        k: int = 10,
+        ascending: bool = True,
+        offset: int = 0,
+    ) -> pa.Table:
+        """ES ``sort`` by an arbitrary doc-store field: the match's FULL hit
+        set ordered by the field instead of relevance (ES leaves ``_score``
+        null when sorting — no score column here), ties pinned by doc_id
+        asc.  Streams the doc store in Arrow batches and keeps only hit rows
+        (hit-scale memory, corpus-scale streaming — the same shape as
+        :meth:`terms_agg`); the final ordering is one Arrow sort over the
+        hit-scale (doc_id, value) pairs.  Beyond the reference's surface
+        (elasticsearch_utils.py:111-123 sorts only by _score); included for
+        ES drop-in completeness."""
+        hits = self.match_hits(text)
+        empty = pa.table(
+            {"rank": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+             "sort_val": pa.array([], pa.string())}
+        )
+        if not len(hits):
+            return empty
+        ids_l: list[np.ndarray] = []
+        vals_l: list[pa.Array] = []
+        scanner = self._docstats_ds().scanner(columns=["doc_id", field])
+        for batch in scanner.to_batches():
+            if len(batch) == 0:
+                continue
+            d = batch.column(0).to_numpy()
+            m = _in_sorted(d, hits)
+            if m.any():
+                ids_l.append(d[m])
+                vals_l.append(batch.column(1).filter(pa.array(m)))
+        if not ids_l:
+            return empty
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids_l), pa.int64()),
+                "sort_val": pa.chunked_array(vals_l),  # NATIVE type: the sort
+                # must compare field values, not their string images
+            }
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("sort_val", "ascending" if ascending else "descending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        sel = order.slice(offset, k)
+        page = t.take(sel)
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(offset + 1, offset + len(page) + 1, dtype=np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": page["doc_id"],
+                # string-cast AFTER sorting: stable output schema across
+                # field types without perturbing numeric order
+                "sort_val": page["sort_val"].cast(pa.string()),
+            }
+        )
+
     def count(self, text: str) -> int:
         """Q5: exact hits.total of a match query."""
         docs = self._union_docs(self.analyzer.tokenize(text))
@@ -1514,6 +1609,41 @@ def delete_by_query(index_dir: str, query: dict) -> int:
     before = len(load_deleted(index_dir))
     after = delete_docs(index_dir, hits["doc_id"].to_numpy())
     return after - before
+
+
+def multi_match_best_fields(
+    field_engines: list["QueryEngine"],
+    text: str,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    offset: int = 0,
+) -> pa.Table:
+    """ES ``multi_match`` (type=best_fields, the default): every field is its
+    own index with its own df/dl/avgdl — exactly Lucene's per-field
+    statistics — and a doc scores max(field scores) + tie_breaker × (sum of
+    the other fields' scores), ES's dis_max combine.  The engines must share
+    the doc-id assignment: the build assigns ids by (repo, path) only, so
+    indexes built from the same keyspace with different text columns align
+    by construction.  Hit-scale combine (unique + bincount over the union of
+    per-field postings), top-k pinned (score desc, doc_id asc).  Beyond the
+    reference's surface (elasticsearch_utils.py:111-123 queries one field);
+    included for ES drop-in completeness."""
+    doc_l, score_l = [], []
+    for eng in field_engines:
+        d, s = eng._match_scores(eng.analyzer.tokenize(text))
+        if len(d):
+            doc_l.append(d)
+            score_l.append(s)
+    if not doc_l:
+        return _empty_result()
+    docs = np.concatenate(doc_l)
+    scores = np.concatenate(score_l)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    total = np.bincount(inv, weights=scores, minlength=len(uniq))
+    best = np.zeros(len(uniq), dtype=np.float64)
+    np.maximum.at(best, inv, scores)
+    final = best + tie_breaker * (total - best)
+    return field_engines[0]._topk_table(uniq, final, k, offset)
 
 
 QUERY_INPUT_SCHEMA = pa.schema(

@@ -425,3 +425,130 @@ def test_range_clause_matches_bruteforce(engine):
     base_scores = dict(zip(base["doc_id"].to_pylist(), base["score"].to_pylist()))
     for d, s in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
         assert s == pytest.approx(base_scores[d] + 1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# round-5 ES completeness surface: search_after / sort-by-field / multi_match
+# ---------------------------------------------------------------------------
+
+
+def test_search_after_pages_equal_offset_pages(engine):
+    """Cursor paging must walk the same global ordering as from/size: page 2
+    via the page-1 cursor == offset page 2 (doc ids and scores)."""
+    full = engine.match("def return", k=10**9).to_pylist()
+    assert len(full) > 12
+    cursor = (full[9]["score"], full[9]["doc_id"])
+    page2 = engine.match_search_after("def return", k=5, after=cursor).to_pylist()
+    for row, exp in zip(page2, full[10:15]):
+        assert row["doc_id"] == exp["doc_id"]
+        assert row["score"] == exp["score"]
+    # page-relative ranks (ES carries no global rank in the response)
+    assert [r["rank"] for r in page2] == list(range(1, len(page2) + 1))
+
+
+def test_search_after_none_is_page_one(engine):
+    a = engine.match("def", k=7).to_pylist()
+    b = engine.match_search_after("def", k=7, after=None).to_pylist()
+    assert a == b
+
+
+def test_search_after_tie_break_on_doc_id(engine):
+    """A cursor inside a score tie must resume strictly after its doc_id."""
+    full = engine.match("def", k=10**9).to_pylist()
+    # find any adjacent tie; constant-ish idf corpora always have some
+    for i in range(len(full) - 1):
+        if full[i]["score"] == full[i + 1]["score"]:
+            cur = (full[i]["score"], full[i]["doc_id"])
+            nxt = engine.match_search_after("def", k=1, after=cur).to_pylist()
+            assert nxt[0]["doc_id"] == full[i + 1]["doc_id"]
+            return
+    import pytest
+
+    pytest.skip("no score tie in this corpus")
+
+
+def test_search_after_past_end_empty(engine):
+    full = engine.match("def", k=10**9).to_pylist()
+    last = full[-1]
+    out = engine.match_search_after(
+        "def", k=5, after=(last["score"], last["doc_id"]))
+    # only docs strictly after the final hit remain (ties below it, if any)
+    assert all(
+        (r["score"] < last["score"])
+        or (r["score"] == last["score"] and r["doc_id"] > last["doc_id"])
+        for r in out.to_pylist()
+    )
+
+
+def test_sort_by_field_orders_hits(engine, corpus_small):
+    """sort_by_field == pandas replay: full hit set ordered by the field,
+    ties by doc_id; values string-cast in the output only."""
+    hits = set(engine.match_hits("def").tolist())
+    import os
+
+    import pyarrow.dataset as pads
+
+    docs = pads.dataset(
+        os.path.join(engine.index_dir, "docs"), format="parquet"
+    ).to_table(columns=["doc_id", "path"]).to_pandas()
+    docs = docs[docs.doc_id.isin(hits)]
+    exp = docs.sort_values(["path", "doc_id"], ascending=[False, True])
+    got = engine.sort_by_field("def", "path", k=9, ascending=False)
+    assert got["sort_val"].to_pylist() == exp["path"].head(9).tolist()
+    assert got["doc_id"].to_pylist() == exp["doc_id"].head(9).tolist()
+    assert got["rank"].to_pylist() == list(range(1, len(got) + 1))
+
+
+def test_sort_by_field_numeric_not_lexicographic(engine):
+    """Numeric fields must sort numerically even though the OUTPUT column is
+    string-cast (dl 9 < 10; lexicographic '10' < '9' would invert them)."""
+    got = engine.sort_by_field("def", "dl", k=10**9, ascending=True)
+    vals = [int(v) for v in got["sort_val"].to_pylist()]
+    assert vals == sorted(vals)
+
+
+def test_multi_match_best_fields_max_plus_tie(engine, built_index, tmp_path):
+    """best_fields == max over per-field BM25 + tie * (sum - max), fields
+    scored with their OWN statistics (two independent indexes)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from librecatastro_ray.config import IndexConfig
+    from librecatastro_ray.pipelines.build import build_index
+    from librecatastro_ray.pipelines.query import (
+        QueryEngine, multi_match_best_fields)
+
+    index_dir, _ = built_index
+    # second field: index the PATH string of the same keyspace
+    import pyarrow.dataset as pads
+
+    docs = pads.dataset(
+        os.path.join(index_dir, "docs"), format="parquet"
+    ).to_table(columns=["repo", "path", "lang"])
+    corpus2 = pa.table({
+        "repo": docs["repo"], "path": docs["path"],
+        "commit": pa.array(["c"] * len(docs), pa.string()),
+        "lang": docs["lang"], "content": docs["path"],
+    })
+    idx2 = str(tmp_path / "idx_path")
+    build_index(ray.data.from_arrow(corpus2).repartition(2), idx2,
+                IndexConfig(num_partitions=2, num_salts=1))
+    eng2 = QueryEngine(idx2)
+    text = "def txt"
+    got = multi_match_best_fields([engine, eng2], text, k=10**9,
+                                  tie_breaker=0.3).to_pylist()
+    # independent replay from each engine's own match scores
+    s1 = {r["doc_id"]: r["score"] for r in engine.match(text, k=10**9).to_pylist()}
+    s2 = {r["doc_id"]: r["score"] for r in eng2.match(text, k=10**9).to_pylist()}
+    exp = {}
+    for d in set(s1) | set(s2):
+        a, b = s1.get(d, 0.0), s2.get(d, 0.0)
+        hi, lo = max(a, b), min(a, b)
+        # a doc hit in one field only contributes no tie term
+        exp[d] = hi + 0.3 * (lo if (d in s1 and d in s2) else 0.0)
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r["doc_id"] for r in got] == [d for d, _ in order]
+    for r in got:
+        assert abs(r["score"] - exp[r["doc_id"]]) < 1e-9
