@@ -655,6 +655,68 @@ def _q_search_extras(sf_dir: str) -> pa.Table:
     )
 
 
+def _tbl(obj) -> pa.Table:
+    """Coerce a queries()-style result (Dataset / DataFrame / Table) to a
+    metadata-free Arrow table for suite concatenation."""
+    import pandas as pd
+
+    if isinstance(obj, pa.Table):
+        return obj.replace_schema_metadata(None)
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False).replace_schema_metadata(None)
+    return pa.Table.from_pandas(obj.to_pandas(), preserve_index=False).replace_schema_metadata(None)
+
+
+def _q_simhash_suite(sf_dir: str) -> pa.Table:
+    """SimHash signatures + banded Hamming near-dup pairs as ONE case-tagged
+    entry, uniform (q, a, b, v) int64 columns (sig: a=doc_id, b=-1,
+    v=signature; pair: a/b=doc pair, v=hamming).  Registry consolidation —
+    the driver gate reads at most 50 entries (the r03 truncation), so the
+    round-5 additions fold sibling entries into suites instead of spilling
+    past the window."""
+    import librecatastro_ray.pipelines.training as T
+
+    sig = _tbl(T.simhash_signatures(sf_dir))
+    pair = _tbl(T.dedup_simhash(sf_dir, 3))
+    return pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "q": pa.array(["sig"] * len(sig), pa.string()),
+                    "a": sig["doc_id"].cast(pa.int64()),
+                    "b": pa.array([-1] * len(sig), pa.int64()),
+                    "v": sig["simhash"].cast(pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "q": pa.array(["pair"] * len(pair), pa.string()),
+                    "a": pair["doc_a"].cast(pa.int64()),
+                    "b": pair["doc_b"].cast(pa.int64()),
+                    "v": pair["hamming"].cast(pa.int64()),
+                }
+            ),
+        ]
+    )
+
+
+def _q_embed_dup_suite(sf_dir: str) -> pa.Table:
+    """Exact block-pair embedding near-dup join + the IVF cell-bucketed
+    variant as one case-tagged entry (identical (vec_a, vec_b, cos) shapes;
+    each case replays its OWN exact SQL — the IVF side's recall-bounded-
+    subset relation to the exact side stays unit-tested)."""
+    import librecatastro_ray.pipelines.training as T
+
+    exact = _tbl(T.embedding_dup_pairs(sf_dir, 0.4))
+    ivf = _tbl(T.embedding_dup_pairs_ivf(sf_dir, 0.4))
+    return pa.concat_tables(
+        [
+            exact.append_column("q", pa.array(["exact"] * len(exact), pa.string())),
+            ivf.append_column("q", pa.array(["ivf"] * len(ivf), pa.string())),
+        ]
+    )
+
+
 def _q_global_stats(sf_dir: str) -> pa.Table:
     eng = _engine(sf_dir)
     d = eng.full_dictionary()
@@ -968,15 +1030,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": lambda sf: T.ngram_jaccard_pairs(sf, 0.62),
         "dedup_minhash_lsh": lambda sf: _lsh_pairs(sf, 0.6),
         "dedup_near_clusters": lambda sf: T.near_dup_clusters(sf, 0.6, pairs=_lsh_pairs(sf, 0.6)),
-        # integer bit math replayed by the _SIMHASH_SQL oracle
-        "simhash_signatures": T.simhash_signatures,
-        # banded Hamming-radius pairs vs the exact all-pairs popcount SQL
-        "dedup_simhash": lambda sf: T.dedup_simhash(sf, 3),
-        "embedding_dup_pairs": lambda sf: T.embedding_dup_pairs(sf, 0.4),
-        # cell-bucketed pairs: exact-SQL-replayable (the IVF centroid rule is
-        # deterministic), and a recall-bounded SUBSET of the exact join
-        # (subset + recall also unit-tested)
-        "dedup_embedding_ivf": lambda sf: T.embedding_dup_pairs_ivf(sf, 0.4),
+        # integer-bit-math signatures + banded Hamming-radius pairs vs the
+        # exact all-pairs popcount SQL — one case-tagged suite (round-5
+        # consolidation: the driver gate reads at most 50 entries)
+        "simhash_suite": _q_simhash_suite,
+        # exact block-pair join + the IVF cell-bucketed variant (the IVF
+        # centroid rule is deterministic and exact-SQL-replayable; the
+        # recall-bounded-subset relation stays unit-tested)
+        "embedding_dup_suite": _q_embed_dup_suite,
         # the on-disk (vec_id, cell) partition content vs the exact-argmax
         # SQL replay of seeds + one Lloyd round + assignment
         "ivf_cell_assign": lambda sf: T.ivf_cell_assign(sf, 8),
@@ -1786,18 +1847,24 @@ SELECT lang,
 FROM documents GROUP BY lang
 """,
         "doc_fingerprints": _FINGERPRINT_SQL,
-        "simhash_signatures": _SIMHASH_SQL,
-        # exact all-pairs replay of the banded Hamming-radius dedup (banding
-        # has no false negatives, so the Ray output equals this quadratic SQL)
-        "dedup_simhash": f"""
+        # sig case = the signature SQL; pair case = exact all-pairs replay of
+        # the banded Hamming-radius dedup (banding has no false negatives, so
+        # the Ray output equals the quadratic SQL); uniform (q, a, b, v)
+        "simhash_suite": _suite_sql([
+            ("sig", f"""
+SELECT doc_id AS a, CAST(-1 AS BIGINT) AS b, simhash AS v
+FROM ({_SIMHASH_SQL})
+"""),
+            ("pair", f"""
 WITH sh AS ({_SIMHASH_SQL}),
 p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT AS hamming
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b
-""",
+SELECT doc_a AS a, doc_b AS b, hamming AS v FROM p WHERE hamming <= 3
+"""),
+        ]),
         "parse_xml_records": _XML_RECORDS_SQL,
         "train_val_split": _SPLIT_SQL,
         "stratified_sample": _STRATIFIED_SQL,
@@ -1965,14 +2032,23 @@ reach(src, dst) AS (
 SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_keep
 FROM reach GROUP BY src
 """,
-        "embedding_dup_pairs": """
+        "embedding_dup_suite": _suite_sql([
+            ("exact", """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
-""",
+"""),
+            ("ivf", f"""
+WITH {_IVF_CELLS_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.en, b.en), 6) AS cos
+FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.en, b.en), 6) >= 0.4
+"""),
+        ]),
         # IVF-family boundary assumption (documented, per round-3 advice):
         # the oracle's Lloyd round reduces with SQL avg() while the engine
         # sums per-batch partials and divides on the driver — float summation
@@ -1981,13 +2057,6 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         # boundary (a different corpus / batch size could flip an argmax).
         # If this gate ever flakes on another corpus, pin both sides to a
         # common reduction order (e.g. sort-by-vec_id pairwise sums).
-        "dedup_embedding_ivf": f"""
-WITH {_IVF_CELLS_CTE}
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.en, b.en), 6) AS cos
-FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.en, b.en), 6) >= 0.4
-""",
         "ivf_cell_assign": f"""
 WITH {_IVF_CELLS_CTE}
 SELECT vec_id, cell::BIGINT AS cell FROM assign
