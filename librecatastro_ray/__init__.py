@@ -11,7 +11,14 @@ re-expressed as ray.data.Dataset pipelines over zero-copy Arrow batches.
 
 from librecatastro_ray.config import IndexConfig
 from librecatastro_ray.pipelines.build import add_documents, build_index, compact_index
-from librecatastro_ray.pipelines.query import QueryEngine, delete_by_query
+from librecatastro_ray.pipelines.query import (
+    QueryEngine,
+    batch_search_scatter,
+    delete_by_query,
+    multi_match_best_fields,
+    range_cache_stats,
+    start_range_cache_stats,
+)
 from librecatastro_ray.state.manifest import delete_docs, drop_index
 
 __all__ = [
@@ -20,6 +27,10 @@ __all__ = [
     "add_documents",
     "compact_index",
     "QueryEngine",
+    "batch_search_scatter",
+    "multi_match_best_fields",
+    "start_range_cache_stats",
+    "range_cache_stats",
     "delete_docs",
     "delete_by_query",
     "drop_index",
