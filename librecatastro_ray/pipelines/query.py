@@ -1949,9 +1949,20 @@ class RangeEngine:
 
     _EMPTY = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
 
-    def match(self, text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def match(
+        self,
+        text: str,
+        k: int,
+        after: tuple[float, int] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
         """→ (doc_ids, scores) of the range-local top-k (plain numpy — one
-        Arrow table per query per range would dominate batch evaluation)."""
+        Arrow table per query per range would dominate batch evaluation).
+        ``after`` is the ES search_after cursor (score, doc_id): candidates
+        at-or-above it are dropped BEFORE the top-k selection — a doc lives
+        wholly in one range, so per-range cursor filtering + the unchanged
+        global merge reproduces the single-engine page exactly (filtering a
+        range's top-k after selection would be wrong: a range whose entire
+        top-k sits above the cursor still owes its NEXT k docs)."""
         acc = self._acc()
         hit = False
         for term in self.eng.analyzer.tokenize(text):
@@ -1964,8 +1975,13 @@ class RangeEngine:
         if len(self._dead_local):
             acc[self._dead_local] = 0.0  # tombstoned docs never rank
         docs = np.nonzero(acc)[0].astype(np.int64) + self.lo
-        sel = topk_indices(acc[docs - self.lo], docs, k)
-        return docs[sel], acc[docs - self.lo][sel]
+        scores = acc[docs - self.lo]
+        if after is not None:
+            s_a, d_a = float(after[0]), int(after[1])
+            keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+            docs, scores = docs[keep], scores[keep]
+        sel = topk_indices(scores, docs, k)
+        return docs[sel], scores[sel]
 
     def _keyword_range(self, field_name: str, value: str, prefix: bool) -> np.ndarray:
         """Keyword clause docs restricted to [lo, hi) — the global answer is
@@ -2254,7 +2270,12 @@ def _eval_range_batch(
             # ranges return the top (from + k); the merge slices the offset
             k = q_k + q_frm
             if kind == "match":
-                docs, scores = rng.match(q.get("text") or "", min(k, k_cap))
+                after = q.get("after")
+                docs, scores = rng.match(
+                    q.get("text") or "",
+                    min(k, k_cap),
+                    after=tuple(after) if after is not None else None,
+                )
             elif kind == "match_phrase":
                 docs, scores = rng.match_phrase(q.get("text") or "", min(k, k_cap))
             elif kind == "bool_must":

@@ -552,3 +552,27 @@ def test_multi_match_best_fields_max_plus_tie(engine, built_index, tmp_path):
     assert [r["doc_id"] for r in got] == [d for d, _ in order]
     for r in got:
         assert abs(r["score"] - exp[r["doc_id"]]) < 1e-9
+
+
+def test_scatter_search_after_matches_direct(built_index, engine):
+    """search_after through the doc-range scatter path == the direct engine:
+    each range filters by the cursor BEFORE its top-k (a range whose whole
+    local top-k is above the cursor still owes its next docs)."""
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    index_dir, _ = built_index
+    full = engine.match("def return", k=10**9).to_pylist()
+    assert len(full) > 8
+    # cursor deep enough that some range's ENTIRE local top-k precedes it
+    cur = (full[7]["score"], full[7]["doc_id"])
+    direct = engine.match_search_after("def return", k=5, after=cur).to_pylist()
+    got = batch_search_scatter(
+        index_dir,
+        [{"query_id": 0, "kind": "match", "text": "def return", "k": 5,
+          "after": [cur[0], cur[1]]}],
+        n_ranges=3,
+    ).to_pylist()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in direct]
+    for a, b in zip(got, direct):
+        assert abs(a["score"] - b["score"]) < 1e-12
+        assert a["rank"] == b["rank"]
