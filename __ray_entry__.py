@@ -902,6 +902,9 @@ def _q_agg_suite(sf_dir: str) -> pa.Table:
         ("hits_total", totals),
         ("terms_lang", eng.terms_agg("lang", eng.match_hits("table"), size=10)),
         ("terms_repo", eng.terms_agg("repo", eng.match_hits("merge group"), size=5)),
+        # ES stats metric agg (round 5): count/sum/min/max of dl over the
+        # full hit set — integer-exact, same streamed-mask scan
+        ("stats_dl", eng.stats_agg("dl", eng.match_hits("table"))),
     ]
     return pa.concat_tables(
         t.append_column("q", pa.array([name] * len(t), pa.string()))
@@ -1709,6 +1712,15 @@ SELECT repo AS key, count(*)::BIGINT AS count
 FROM ids WHERE doc_id IN
     (SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'group'))
 GROUP BY repo ORDER BY count DESC, key ASC LIMIT 5
+"""),
+            ("stats_dl", f"""
+{_BASE_CTE},
+h AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table'),
+v AS (SELECT dl.dl FROM dl JOIN h USING (doc_id))
+SELECT 'count' AS key, count(*)::BIGINT AS count FROM v
+UNION ALL SELECT 'sum', coalesce(sum(dl), 0)::BIGINT FROM v
+UNION ALL SELECT 'min', coalesce(min(dl), 0)::BIGINT FROM v
+UNION ALL SELECT 'max', coalesce(max(dl), 0)::BIGINT FROM v
 """),
         ]),
         "quality_scores": rf"""

@@ -1283,6 +1283,44 @@ class QueryEngine:
         docs = self._union_docs(self.analyzer.tokenize(text))
         return np.zeros(0, dtype=np.int64) if docs is None else docs
 
+    def stats_agg(self, field: str, hits: np.ndarray) -> pa.Table:
+        """ES ``stats`` metric aggregation over an integer doc-store field:
+        count / sum / min / max across a query's FULL hit set, via the same
+        streamed sorted-membership doc-store scan as :meth:`terms_agg`
+        (per-batch numpy reductions; hit values never materialize).  avg is
+        sum/count, left to the caller so the output stays integer-exact.
+        Beyond the reference's surface (it only reads hits.total); included
+        for ES drop-in completeness."""
+        hits = np.asarray(hits, dtype=np.int64)
+        n = 0
+        total = 0
+        mn: int | None = None
+        mx: int | None = None
+        scanner = self._docstats_ds().scanner(columns=["doc_id", field])
+        for batch in scanner.to_batches():
+            if len(batch) == 0:
+                continue
+            d = batch.column(0).to_numpy()
+            m = _in_sorted(d, hits)
+            if not m.any():
+                continue
+            v = batch.column(1).to_numpy()[m]
+            n += len(v)
+            total += int(v.sum())
+            bmn, bmx = int(v.min()), int(v.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        return pa.table(
+            {
+                "key": pa.array(["count", "sum", "min", "max"], pa.string()),
+                "count": pa.array(
+                    [n, total, mn if mn is not None else 0,
+                     mx if mx is not None else 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
     def sort_by_field(
         self,
         text: str,

@@ -576,3 +576,25 @@ def test_scatter_search_after_matches_direct(built_index, engine):
     for a, b in zip(got, direct):
         assert abs(a["score"] - b["score"]) < 1e-12
         assert a["rank"] == b["rank"]
+
+
+def test_stats_agg_matches_pandas(engine):
+    """ES stats metric agg (count/sum/min/max of dl over the full hit set)
+    == a pandas replay over the doc store."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    hits = engine.match_hits("def")
+    docs = pads.dataset(
+        os.path.join(engine.index_dir, "docs"), format="parquet"
+    ).to_table(columns=["doc_id", "dl"]).to_pandas()
+    sub = docs[docs.doc_id.isin(set(hits.tolist()))]["dl"]
+    got = dict(zip(*engine.stats_agg("dl", hits).to_pydict().values()))
+    assert got == {"count": len(sub), "sum": int(sub.sum()),
+                   "min": int(sub.min()), "max": int(sub.max())}
+
+
+def test_stats_agg_empty_hits(engine):
+    got = dict(zip(*engine.stats_agg("dl", []).to_pydict().values()))
+    assert got == {"count": 0, "sum": 0, "min": 0, "max": 0}
