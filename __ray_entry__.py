@@ -283,6 +283,7 @@ def _bm25_sql(
     exclude_lang: str | None = None,
     ids_order: str = "repo, path",
     dl_range: tuple | None = None,
+    lang_in: list[str] | None = None,
 ) -> str:
     """BM25 top-k SQL over the derived corpus (exact engine formula:
     k1=1.2, b=0.75, idf=ln(1+(N-df+0.5)/(df+0.5))).  ``should`` terms score
@@ -325,6 +326,13 @@ def _bm25_sql(
         lang_join += (
             f" JOIN dl AS dlr ON dlr.doc_id = tf.doc_id"
             f" AND dlr.dl BETWEEN {dl_range[0]} AND {dl_range[1]}"
+        )
+        extra_score += " + 1.0"
+    if lang_in is not None:
+        # ES terms-query replay (keyword-OR): one constant score for the set
+        lang_join += (
+            f" JOIN ids AS idi ON idi.doc_id = tf.doc_id"
+            f" AND idi.lang IN ({_sql_list(lang_in)})"
         )
         extra_score += " + 1.0"
     return f"""
@@ -749,14 +757,17 @@ def _q_bool_must(
     must_not: list[str] | None = None,
     should: list[str] | None = None,
     dl_range: tuple | None = None,
+    lang_in: list[str] | None = None,
 ) -> pa.Table:
     kw = [("lang", lang_eq)] if lang_eq else None
     kp = [("path", path_prefix)] if path_prefix else None
     rng = [("dl", dl_range[0], dl_range[1])] if dl_range else None
+    kin = [("lang", lang_in)] if lang_in else None
     return _rounded_rank(
         _engine(sf_dir).bool_must(
             terms, k=10**9, keyword_eq=kw, keyword_prefix=kp,
             must_not_terms=must_not, should_terms=should, range_clauses=rng,
+            keyword_in=kin,
         ),
         k,
     )
@@ -813,6 +824,9 @@ def _q_bool_variants(sf_dir: str) -> pa.Table:
         ("should", _q_bool_must(sf_dir, ["table"], 10, should=["fast", "merge"])),
         # ES range filter clause (numeric, filter-context constant score)
         ("must_range", _q_bool_must(sf_dir, ["table"], 10, dl_range=(40, 70))),
+        # ES terms query (keyword-OR: lang IN (...), one constant score)
+        ("must_lang_in", _q_bool_must(sf_dir, ["table"], 10,
+                                      lang_in=["en", "de"])),
     ]
     return pa.concat_tables(
         t.append_column("q", pa.array([name] * len(t), pa.string()))
@@ -1669,6 +1683,8 @@ FROM stats s
             ("must_not", _bm25_sql(["table"], 10, must_all=True, must_not=["slow"])),
             ("must_range", _bm25_sql(["table"], 10, must_all=True,
                                      dl_range=(40, 70))),
+            ("must_lang_in", _bm25_sql(["table"], 10, must_all=True,
+                                       lang_in=["en", "de"])),
             ("not_only", f"""
 {_BASE_CTE}
 SELECT rank, doc_id, score FROM (

@@ -879,6 +879,7 @@ class QueryEngine:
         offset: int = 0,
         require_should: bool = False,
         range_clauses: list[tuple] | None = None,
+        keyword_in: list[tuple[str, list[str]]] | None = None,
     ) -> pa.Table:
         """Q3: full bool query (reference: elasticsearch_utils.py:111-119 —
         the probe always carries must / should / must_not arrays, the latter
@@ -893,7 +894,7 @@ class QueryEngine:
         block-level skipping: after the rarest clause fixes the candidate
         set, other clauses only decode blocks whose doc range intersects it."""
         if (not content_terms and not keyword_eq and not keyword_prefix
-                and not should_terms and not range_clauses):
+                and not should_terms and not range_clauses and not keyword_in):
             if not must_not_terms:
                 return _empty_result()
             # match_all minus exclusions
@@ -958,6 +959,18 @@ class QueryEngine:
                 kw_docs.append(d)
                 if shrink(d) == 0:
                     return _empty_result()
+        for field_name, values in keyword_in or []:
+            # ES ``terms`` query (keyword-OR): docs matching ANY of the
+            # values; ONE filter-context constant score however many values
+            # hit (Lucene's constant_score rewrite of TermInSetQuery)
+            parts = [self.keyword_docs(field_name, v) for v in values]
+            parts = [p for p in parts if len(p)]
+            if not parts:
+                return _empty_result()
+            d = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+            kw_docs.append(d)
+            if shrink(d) == 0:
+                return _empty_result()
         for field_name, gte, lte in range_clauses or []:
             # ES range clause: filter-context, constant score 1.0 (same
             # convention as the keyword clauses)

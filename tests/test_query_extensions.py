@@ -598,3 +598,27 @@ def test_stats_agg_matches_pandas(engine):
 def test_stats_agg_empty_hits(engine):
     got = dict(zip(*engine.stats_agg("dl", []).to_pydict().values()))
     assert got == {"count": 0, "sum": 0, "min": 0, "max": 0}
+
+
+def test_keyword_in_is_or_of_eq(engine, oracle_small):
+    """ES terms query (keyword_in): docs matching ANY value, ONE constant
+    score — equal to the union of per-value keyword_eq hits."""
+    langs = sorted({r for r in oracle_small.langs})[:2]
+    got = engine.bool_must(["def"], k=10**9,
+                           keyword_in=[("lang", langs)]).to_pylist()
+    union = set()
+    for lg in langs:
+        union |= {r["doc_id"] for r in engine.bool_must(
+            ["def"], k=10**9, keyword_eq=[("lang", lg)]).to_pylist()}
+    assert {r["doc_id"] for r in got} == union
+    # one +1.0, not one per matching value
+    single = {r["doc_id"]: r["score"] for r in engine.bool_must(
+        ["def"], k=10**9, keyword_eq=[("lang", langs[0])]).to_pylist()}
+    for r in got:
+        if r["doc_id"] in single:
+            assert abs(r["score"] - single[r["doc_id"]]) < 1e-12
+
+
+def test_keyword_in_no_match_is_empty(engine):
+    assert len(engine.bool_must(["def"], k=10,
+                                keyword_in=[("lang", ["zz", "xx"])])) == 0
