@@ -284,6 +284,7 @@ def _bm25_sql(
     ids_order: str = "repo, path",
     dl_range: tuple | None = None,
     lang_in: list[str] | None = None,
+    min_should: int | None = None,
 ) -> str:
     """BM25 top-k SQL over the derived corpus (exact engine formula:
     k1=1.2, b=0.75, idf=ln(1+(N-df+0.5)/(df+0.5))).  ``should`` terms score
@@ -294,10 +295,17 @@ def _bm25_sql(
     keep counting them, exactly the engine's Lucene-faithful delete."""
     must_not = must_not or []
     should = should or []
-    vals = ", ".join("('" + t + "', 1)" for t in terms)
-    if should:
-        vals += ", " + ", ".join("('" + t + "', 0)" for t in should)
-    having = f"HAVING sum(q_is_must) = {len(terms)}" if must_all else ""
+    vals = ", ".join(
+        [f"('{t}', 1)" for t in terms] + [f"('{t}', 0)" for t in should]
+    )
+    having_parts = []
+    if must_all and terms:
+        having_parts.append(f"sum(q_is_must) = {len(terms)}")
+    if min_should:
+        # ES minimum_should_match=N: one contrib row per matched (doc,
+        # should-term) pair, so the should-row count IS the distinct count
+        having_parts.append(f"sum(1 - q_is_must) >= {min_should}")
+    having = ("HAVING " + " AND ".join(having_parts)) if having_parts else ""
     preds = []
     if must_not:
         preds.append(
@@ -758,6 +766,7 @@ def _q_bool_must(
     should: list[str] | None = None,
     dl_range: tuple | None = None,
     lang_in: list[str] | None = None,
+    msm: int | None = None,
 ) -> pa.Table:
     kw = [("lang", lang_eq)] if lang_eq else None
     kp = [("path", path_prefix)] if path_prefix else None
@@ -767,7 +776,7 @@ def _q_bool_must(
         _engine(sf_dir).bool_must(
             terms, k=10**9, keyword_eq=kw, keyword_prefix=kp,
             must_not_terms=must_not, should_terms=should, range_clauses=rng,
-            keyword_in=kin,
+            keyword_in=kin, minimum_should_match=msm,
         ),
         k,
     )
@@ -827,6 +836,10 @@ def _q_bool_variants(sf_dir: str) -> pa.Table:
         # ES terms query (keyword-OR: lang IN (...), one constant score)
         ("must_lang_in", _q_bool_must(sf_dir, ["table"], 10,
                                       lang_in=["en", "de"])),
+        # ES minimum_should_match=2: docs need the must term AND >=2 of the
+        # three should terms (all matched should scores still accumulate)
+        ("should_msm2", _q_bool_must(sf_dir, ["table"], 10,
+                                     should=["fast", "merge", "slow"], msm=2)),
     ]
     return pa.concat_tables(
         t.append_column("q", pa.array([name] * len(t), pa.string()))
@@ -1685,6 +1698,9 @@ FROM stats s
                                      dl_range=(40, 70))),
             ("must_lang_in", _bm25_sql(["table"], 10, must_all=True,
                                        lang_in=["en", "de"])),
+            ("should_msm2", _bm25_sql(["table"], 10, must_all=True,
+                                      should=["fast", "merge", "slow"],
+                                      min_should=2)),
             ("not_only", f"""
 {_BASE_CTE}
 SELECT rank, doc_id, score FROM (

@@ -880,6 +880,7 @@ class QueryEngine:
         require_should: bool = False,
         range_clauses: list[tuple] | None = None,
         keyword_in: list[tuple[str, list[str]]] | None = None,
+        minimum_should_match: int | None = None,
     ) -> pa.Table:
         """Q3: full bool query (reference: elasticsearch_utils.py:111-119 —
         the probe always carries must / should / must_not arrays, the latter
@@ -978,13 +979,25 @@ class QueryEngine:
             kw_docs.append(d)
             if shrink(d) == 0:
                 return _empty_result()
-        if n_cand < 0 or (require_should and should_terms):
-            # pure-should (OR) — or minimum_should_match=1 with other clauses
-            u = self._union_docs(list(should_terms or []))
-            if u is None:
+        msm = max(int(minimum_should_match or 0), 1 if require_should else 0)
+        if n_cand < 0 and should_terms:
+            msm = max(msm, 1)  # pure-should bool: OR semantics (ES default)
+        if msm > 0 and should_terms:
+            uniq_should = list(dict.fromkeys(should_terms))
+            if msm == 1:
+                d = self._union_docs(uniq_should)
+            else:
+                # ES minimum_should_match=N: count DISTINCT matching should
+                # clauses per doc (term presence, not tf) and keep count >= N
+                all_d = np.concatenate(
+                    [self.load_postings(t)[0] for t in uniq_should]
+                )
+                u, cnt = np.unique(all_d, return_counts=True)
+                d = u[cnt >= msm]
+            if d is None or len(d) == 0 or shrink(d) == 0:
                 return _empty_result()
-            if shrink(u) == 0:
-                return _empty_result()
+        elif n_cand < 0:
+            return _empty_result()
         for term in must_not_terms or []:
             d, _f, _L = self.load_postings(term)
             if len(d) and exclude(d) == 0:

@@ -622,3 +622,35 @@ def test_keyword_in_is_or_of_eq(engine, oracle_small):
 def test_keyword_in_no_match_is_empty(engine):
     assert len(engine.bool_must(["def"], k=10,
                                 keyword_in=[("lang", ["zz", "xx"])])) == 0
+
+
+def test_minimum_should_match_n(engine, oracle_small):
+    """minimum_should_match=2: docs must match the must term AND >=2 distinct
+    should terms; ALL matched should scores still accumulate."""
+    should = ["def", "return", "class"]
+    must_scores = _oracle_scores(oracle_small, ["value"])
+    per_should = {t: oracle_small.score_term(t) for t in should}
+    exp = {}
+    for d, s in must_scores.items():
+        matched = [t for t in should if d in per_should[t]]
+        if len(matched) >= 2:
+            exp[d] = s + sum(per_should[t][d] for t in matched)
+    want = _ranked(exp)[:10]
+    got = engine.bool_must(["value"], k=10, should_terms=should,
+                           minimum_should_match=2).to_pylist()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for row, (_, s) in zip(got, want):
+        assert abs(row["score"] - s) < 1e-9
+
+
+def test_minimum_should_match_one_equals_require_should(engine):
+    a = engine.bool_must(["def"], k=10, should_terms=["return"],
+                         require_should=True).to_pylist()
+    b = engine.bool_must(["def"], k=10, should_terms=["return"],
+                         minimum_should_match=1).to_pylist()
+    assert a == b
+
+
+def test_minimum_should_match_exceeds_terms_is_empty(engine):
+    assert len(engine.bool_must(["def"], k=10, should_terms=["return"],
+                                minimum_should_match=3)) == 0
