@@ -2065,6 +2065,8 @@ class RangeEngine:
         must_not_terms: list[str] | None = None,
         should_terms: list[str] | None = None,
         require_should: bool = False,
+        keyword_in: list[tuple[str, list[str]]] | None = None,
+        minimum_should_match: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Full bool query over the range: per-doc scores equal the global
         engine's exactly (contributions use GLOBAL df/avgdl), so partials
@@ -2087,20 +2089,39 @@ class RangeEngine:
                 acc[d - self.lo] += 1.0
                 nt[d - self.lo] += 1
                 n_clauses += 1
-        should_hit = None
+        for field_name, values in keyword_in or []:
+            # ES terms query: keyword-OR, ONE constant score for the set
+            parts = [self._keyword_range(field_name, v, False) for v in values]
+            parts = [p for p in parts if len(p)]
+            if not parts:
+                return self._EMPTY
+            d = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+            acc[d - self.lo] += 1.0
+            nt[d - self.lo] += 1
+            n_clauses += 1
+        msm = max(
+            int(minimum_should_match or 0), 1 if require_should else 0
+        )
+        should_cnt = None
         if should_terms:
-            should_hit = np.zeros(self.hi - self.lo, dtype=bool)
+            # score EVERY occurrence (clause order, like the direct engine),
+            # count each DISTINCT term once for the msm threshold
+            should_cnt = np.zeros(self.hi - self.lo, dtype=np.int32)
+            seen: set[str] = set()
             for term in should_terms:
                 d, s = self._contribution_range(term)
                 if len(d):
                     acc[d - self.lo] += s
-                    should_hit[d - self.lo] = True
+                    if term not in seen:
+                        should_cnt[d - self.lo] += 1
+                seen.add(term)
         if n_clauses > 0:
             ok = nt == n_clauses
-            if require_should and should_hit is not None:
-                ok = ok & should_hit  # minimum_should_match=1
-        elif should_hit is not None:
-            ok = should_hit  # pure-should: OR semantics
+            if msm > 0 and should_cnt is not None:
+                ok = ok & (should_cnt >= msm)  # minimum_should_match=N
+        elif should_cnt is not None:
+            # pure-should: OR semantics (ES default msm=1), or explicit N
+            ok = should_cnt >= max(msm, 1)
         elif must_not_terms:
             # match_all minus exclusions (constant score 1.0)
             ok = np.ones(self.hi - self.lo, dtype=bool)
@@ -2351,6 +2372,10 @@ def _eval_range_batch(
                     must_not_terms=list(q.get("must_not_terms") or []),
                     should_terms=list(q.get("should_terms") or []),
                     require_should=bool(q.get("require_should") or False),
+                    keyword_in=[
+                        (p[0], list(p[1])) for p in q.get("keyword_in") or []
+                    ],
+                    minimum_should_match=q.get("minimum_should_match"),
                 )
             elif kind == "prefix_content":
                 docs, _n = rng.prefix_union(q.get("prefix") or "")

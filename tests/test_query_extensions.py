@@ -654,3 +654,34 @@ def test_minimum_should_match_one_equals_require_should(engine):
 def test_minimum_should_match_exceeds_terms_is_empty(engine):
     assert len(engine.bool_must(["def"], k=10, should_terms=["return"],
                                 minimum_should_match=3)) == 0
+
+
+def test_scatter_keyword_in_and_msm_match_direct(built_index, engine, oracle_small):
+    """keyword_in + minimum_should_match through the scatter path == the
+    direct engine (per-range dense accumulators carry both clauses)."""
+    from librecatastro_ray.pipelines.query import batch_search_scatter
+
+    index_dir, _ = built_index
+    langs = sorted({r for r in oracle_small.langs})[:2]
+    queries = [
+        {"query_id": 0, "kind": "bool_must", "must_terms": ["def"],
+         "keyword_in": [["lang", langs]], "k": 10},
+        {"query_id": 1, "kind": "bool_must", "must_terms": ["value"],
+         "should_terms": ["def", "return", "class"],
+         "minimum_should_match": 2, "k": 10},
+    ]
+    got = batch_search_scatter(index_dir, queries, n_ranges=3)
+    rows = {0: [], 1: []}
+    for r in got.to_pylist():
+        rows[r["query_id"]].append(r)
+    exp0 = engine.bool_must(["def"], k=10,
+                            keyword_in=[("lang", langs)]).to_pylist()
+    exp1 = engine.bool_must(["value"], k=10,
+                            should_terms=["def", "return", "class"],
+                            minimum_should_match=2).to_pylist()
+    for qid, exp in ((0, exp0), (1, exp1)):
+        assert [(r["rank"], r["doc_id"]) for r in rows[qid]] == [
+            (r["rank"], r["doc_id"]) for r in exp
+        ], qid
+        for a, b in zip(rows[qid], exp):
+            assert abs(a["score"] - b["score"]) < 1e-12, qid
