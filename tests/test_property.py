@@ -161,3 +161,23 @@ def test_simhash_banding_pigeonhole_property(sig, radius, flips):
         set(map(tuple, b[b.doc_id == 1][["band", "bucket"]].values))
     if len(flips) <= radius:
         assert shared, (sig, radius, flips)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(min_value=1, max_value=9))
+def test_search_after_walk_is_a_partition_of_the_ranking(engine_and_oracle, k):
+    """Cursor-paging invariant: walking pages of ANY size k via
+    match_search_after visits the full ranking exactly once, in order —
+    no document skipped, none repeated, regardless of score ties at page
+    boundaries."""
+    engine, _ = engine_and_oracle
+    full = [r["doc_id"] for r in engine.match("def return", k=10**9).to_pylist()]
+    walked: list[int] = []
+    cursor = None
+    for _ in range(len(full) + 2):  # bounded: must terminate
+        page = engine.match_search_after("def return", k=k, after=cursor).to_pylist()
+        if not page:
+            break
+        walked.extend(r["doc_id"] for r in page)
+        cursor = (page[-1]["score"], page[-1]["doc_id"])
+    assert walked == full
