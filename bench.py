@@ -211,7 +211,14 @@ def run_bench() -> dict:
     queries = make_query_set(
         int(os.environ.get("LCRAY_BENCH_QUERIES", "4000")),
         phrase_pool=make_phrase_pool(SF_DIR) if with_phrases else None)
-    scatter_min = int(os.environ.get("LCRAY_SCATTER_MIN_DOCS", "300000"))
+    # crossover tuned FROM the round-5 range-engine cache counters (the
+    # measurement they were added for): with the range-major layout, scatter
+    # matches or beats the replica pool at every corpus size measured —
+    # 5k docs (1586 vs 1602 QPS, a wash; phrases 231 vs 148), 60k (1627 vs
+    # 1277; phrases 180 vs 84), 600k+ (replica thrashes).  Default drops
+    # 300k → 50k; below that the pool's per-actor engines are already warm
+    # and the two paths tie.
+    scatter_min = int(os.environ.get("LCRAY_SCATTER_MIN_DOCS", "50000"))
     from librecatastro_ray.pipelines.query import (
         range_cache_stats, start_range_cache_stats)
 
